@@ -1,0 +1,277 @@
+"""The MD engine driver: one jitted chunk = neighbor rebuild + N fused steps.
+
+This replaces the reference's LAMMPS Verlet::run loop (SURVEY.md §3.2) with
+a TPU-idiomatic structure: the hot loop is a `lax.scan` inside `jit`, so an
+entire rebuild interval executes as a single XLA program with zero per-step
+host round-trips — eliminating the reference's per-step H2D coordinate copy
+and `.item()` sync bottlenecks (pair_ani.cpp:98-102, ani.cpp:246-251) by
+construction.
+
+Step structure (velocity Verlet, matching LAMMPS fix nve + optional
+fix langevin / Nose-Hoover thermostat):
+
+  [thermostat half]  v *= NH scale
+  v += dt/2 * ftm2v * f/m
+  x += dt * v
+  f  = forces(x)   (+ Langevin friction/noise using post-drift v)
+  v += dt/2 * ftm2v * f/m
+  [thermostat half]
+
+Neighbor contract: the (index, shift) structure is frozen for
+`rebuild_every` steps; ghost positions are recomputed from owners each step
+(ops/neighbors.py). Capacity overflow is detected on device and surfaced
+after each chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import units
+from ..models import potential as potmod
+from ..ops import neighbors as nbops
+from . import integrate
+from .state import MDState
+
+
+@dataclasses.dataclass(frozen=True)
+class NeighborConfig:
+    cutoff: float  # interaction cutoff (Angstrom)
+    skin: float = 2.0
+    k_max: int = 64
+    ghost_capacity: int = 4096
+    n_shell: int = 1
+    rebuild_every: int = 10
+    use_cell_list: bool = False
+    cell_capacity: int = 16
+
+    @property
+    def rlist(self) -> float:
+        return self.cutoff + self.skin
+
+
+Integrator = Union[None, integrate.Langevin, integrate.NoseHoover]
+
+
+class Simulation:
+    """Host-side orchestration; all per-step compute lives in one jit.
+
+    Equivalent surface to `pair_style ani` + LAMMPS run setup
+    (/root/reference/src/pair_ani.cpp:285-341 + tests/in.lammps): potential,
+    cutoff/neighbor policy, timestep, integrator/thermostat, precision.
+    """
+
+    def __init__(
+        self,
+        potential: potmod.ANIPotential,
+        species: np.ndarray,  # [n] int32
+        masses: np.ndarray,  # [n] g/mol (per-atom: HMR supported natively)
+        nbr: NeighborConfig,
+        dt: float = 0.5,  # fs
+        integrator: Integrator = None,  # None = NVE
+        dtype=jnp.float32,
+        sort_species: bool = True,
+        extra_force: Optional[Callable] = None,  # (pos, box, step) -> [n,3]
+    ):
+        n = len(species)
+        self.nbr = nbr
+        self.dt = float(dt)
+        self.integrator = integrator
+        self.dtype = dtype
+        self.extra_force = extra_force
+
+        # Species-sort for exact static per-species matmul shapes
+        # (networks.atomic_energies_sorted). `self.order` maps sorted->input.
+        if sort_species:
+            self.order = np.argsort(species, kind="stable")
+        else:
+            self.order = np.arange(n)
+        self.inv_order = np.argsort(self.order)
+        self.species_np = np.asarray(species)[self.order]
+        self.species = jnp.asarray(self.species_np)
+        self.masses = jnp.asarray(np.asarray(masses)[self.order], dtype)
+        num_species = potential.spec.net.num_species
+        self.species_counts = tuple(
+            int((self.species_np == s).sum()) for s in range(num_species)
+        ) if sort_species else None
+        self.potential = potential
+        self.dof = 3 * n - 3
+        self.n_atoms = n
+        self._shifts = nbops.image_shifts(nbr.n_shell)
+        self._chunk_cache = {}
+
+    # ---------- setup ----------
+
+    def init_state(
+        self,
+        pos: np.ndarray,
+        box: nbops.Box,
+        vel: np.ndarray | None = None,
+        temp: float | None = None,
+        seed: int = 12345,
+        compute_virial: bool = True,
+    ) -> MDState:
+        pos = jnp.asarray(np.asarray(pos)[self.order], self.dtype)
+        box = nbops.Box(h=jnp.asarray(box.h, self.dtype),
+                        origin=jnp.asarray(box.origin, self.dtype))
+        key = jax.random.PRNGKey(seed)
+        if vel is not None:
+            vel = jnp.asarray(np.asarray(vel)[self.order], self.dtype)
+        elif temp is not None:
+            key, sub = jax.random.split(key)
+            vel = integrate.create_velocities(
+                sub, self.masses, temp, self.dof, dtype=self.dtype)
+        else:
+            vel = jnp.zeros_like(pos)
+
+        pos_w = nbops.wrap_positions(pos, box)
+        nlist = self._build_nlist(pos_w, box)
+        pe, force, virial = self._forces(pos_w, box, nlist,
+                                         jnp.zeros((), jnp.int32))
+        ts = self.integrator.init(self.dtype) \
+            if isinstance(self.integrator, integrate.NoseHoover) else None
+        return MDState(
+            pos=pos_w, vel=vel, force=force, box=box,
+            step=jnp.zeros((), jnp.int32), rng=key,
+            pe=pe, virial=virial, nlist=nlist, pos_at_rebuild=pos_w,
+            thermostat=ts, barostat=None,
+        )
+
+    # ---------- internals (traced) ----------
+
+    def _build_nlist(self, pos, box):
+        ghosts = nbops.build_ghosts(
+            pos, box, self.nbr.rlist, self.nbr.ghost_capacity, self._shifts)
+        if self.nbr.use_cell_list:
+            from ..ops import cell_list as clmod
+            return clmod.build_neighbor_matrix_cells(
+                pos, box, self.nbr.rlist, self.nbr.k_max, ghosts,
+                cell_capacity=self.nbr.cell_capacity)
+        return nbops.build_neighbor_matrix_brute(
+            pos, box, self.nbr.rlist, self.nbr.k_max, ghosts)
+
+    def _forces(self, pos, box, nlist, step):
+        pe_h, f_h, w_h = potmod.energy_forces_virial(
+            self.potential, self.species, pos, box, nlist,
+            species_counts=self.species_counts)
+        c = jnp.asarray(units.HARTREE2KCALMOL, pos.dtype)
+        pe, f, w = pe_h * c, f_h * c, w_h * c
+        if self.extra_force is not None:
+            f = f + self.extra_force(pos, box, step)
+        return pe, f, w
+
+    def _step(self, state: MDState) -> MDState:
+        dt = jnp.asarray(self.dt, self.dtype)
+        vel, force, pos = state.vel, state.force, state.pos
+        ts = state.thermostat
+        key = state.rng
+
+        if isinstance(self.integrator, integrate.NoseHoover):
+            ts, vel = self.integrator.half_step(
+                ts, vel, self.masses, self.dof, dt)
+
+        vel = integrate.nve_halfkick(vel, force, self.masses, dt)
+        pos = integrate.nve_drift(pos, vel, dt)
+
+        pe, force, virial = self._forces(pos, state.box, state.nlist,
+                                         state.step)
+        if isinstance(self.integrator, integrate.Langevin):
+            key, sub = jax.random.split(key)
+            force = force + self.integrator.force(sub, vel, self.masses, dt)
+
+        vel = integrate.nve_halfkick(vel, force, self.masses, dt)
+
+        if isinstance(self.integrator, integrate.NoseHoover):
+            ts, vel = self.integrator.half_step(
+                ts, vel, self.masses, self.dof, dt)
+
+        return state.replace(
+            pos=pos, vel=vel, force=force, pe=pe, virial=virial,
+            step=state.step + 1, rng=key, thermostat=ts,
+        )
+
+    def _chunk(self, state: MDState, n_steps: int):
+        pos_w = nbops.wrap_positions(state.pos, state.box)
+        nlist = self._build_nlist(pos_w, state.box)
+        state = state.replace(pos=pos_w, nlist=nlist, pos_at_rebuild=pos_w)
+
+        def body(st, _):
+            st = self._step(st)
+            ke = integrate.kinetic_energy(st.vel, self.masses)
+            scalars = {
+                "pe": st.pe,
+                "ke": ke,
+                "temp": 2.0 * ke / (self.dof * units.BOLTZ),
+                "press": jnp.trace(integrate.pressure_tensor(
+                    st.vel, self.masses, st.virial, st.box.volume)) / 3.0,
+            }
+            return st, scalars
+
+        state, traj = jax.lax.scan(body, state, length=n_steps)
+        # max displacement since rebuild, for skin-violation detection
+        disp = jnp.max(jnp.linalg.norm(state.pos - state.pos_at_rebuild,
+                                       axis=-1))
+        return state, traj, disp, state.nlist.overflowed
+
+    def _jitted_chunk(self, n_steps: int):
+        if n_steps not in self._chunk_cache:
+            self._chunk_cache[n_steps] = jax.jit(
+                functools.partial(self._chunk, n_steps=n_steps))
+        return self._chunk_cache[n_steps]
+
+    # ---------- host API ----------
+
+    def run(self, state: MDState, n_steps: int,
+            thermo_every: int | None = None,
+            thermo_callback: Optional[Callable] = None):
+        """Advance n_steps. Returns (state, thermo_rows).
+
+        Thermo rows mirror the reference's `thermo_style custom step pe ke
+        etotal temp press vol density` (tests/in.lammps:55-57).
+        """
+        rows = []
+        chunk = self.nbr.rebuild_every
+        done = 0
+        fn = None
+        while done < n_steps:
+            take = min(chunk, n_steps - done)
+            fn = self._jitted_chunk(take)
+            new_state, traj, disp, overflowed = fn(state)
+            if bool(overflowed):
+                raise RuntimeError(
+                    "neighbor/ghost capacity overflow: increase "
+                    "NeighborConfig.k_max / ghost_capacity")
+            if float(disp) > self.nbr.skin / 2:
+                raise RuntimeError(
+                    f"atoms moved {float(disp):.3f} A > skin/2 between "
+                    "rebuilds: lower rebuild_every or raise skin")
+            state = new_state
+            if thermo_every:
+                traj_np = jax.tree.map(np.asarray, traj)
+                for k in range(take):
+                    step = done + k + 1
+                    if step % thermo_every == 0 or step == n_steps:
+                        row = {f: float(traj_np[f][k]) for f in traj_np}
+                        row["step"] = step
+                        row["etotal"] = row["pe"] + row["ke"]
+                        rows.append(row)
+                        if thermo_callback:
+                            thermo_callback(row)
+            done += take
+        return state, rows
+
+    def positions_input_order(self, state: MDState) -> np.ndarray:
+        """Positions permuted back to the caller's original atom order."""
+        return np.asarray(state.pos)[self.inv_order]
+
+    def forces_input_order(self, state: MDState) -> np.ndarray:
+        return np.asarray(state.force)[self.inv_order]
+
+    def velocities_input_order(self, state: MDState) -> np.ndarray:
+        return np.asarray(state.vel)[self.inv_order]

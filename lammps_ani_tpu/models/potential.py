@@ -1,0 +1,172 @@
+"""The ANI potential: AEV + per-species MLP ensemble + shifter (+ repulsion).
+
+This module is the TPU-native collapse of the reference's four-layer stack
+(TorchScript wrapper /root/reference/models/lammps_ani.py, C++ bridge
+/root/reference/src/ani_csrc/ani.cpp, cuaev kernels, and torchani modules):
+a pure function from (positions, box, neighbor structure) to energy, with
+forces from `jax.grad` and virial from a strain derivative.
+
+Contract parity with `LammpsANI.forward`
+(/root/reference/models/lammps_ani.py:130-216):
+  * ghost atoms (species -1) contribute environment but no energy;
+  * `atomic=True` returns per-atom energies for local atoms;
+  * virial = -dE/d(strain), symmetric 3x3 — equivalent to the reference's
+    partial-fdotr `-dEdR^T @ diff_vector` (lammps_ani.py:195-201) but
+    computed the JAX way (differentiate through an affine deformation of
+    positions *and* box, which also captures the ghost-image terms);
+  * energies in Hartree internally; unit conversion happens at the engine
+    boundary (units.HARTREE2KCALMOL, cf. ani.cpp:161-162).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import neighbors as nbops
+from . import aev as aevmod
+from . import networks as netmod
+from . import repulsion as repmod
+
+
+@dataclasses.dataclass(frozen=True)
+class ANISpec:
+    """Static potential configuration (hashable; jit-static)."""
+
+    aev: aevmod.AEVSpec
+    net: netmod.NetworkSpec
+    shifter: netmod.EnergyShifter
+    repulsion: Optional[repmod.RepulsionSpec] = None
+    symbols: tuple[str, ...] = ("H", "C", "N", "O", "S", "F", "Cl")
+    angular_capacity: int = 32
+    atom_chunk: Optional[int] = None  # chunk AEV angular block over atoms
+
+    @property
+    def cutoff(self) -> float:
+        return self.aev.radial_cutoff
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ANIPotential:
+    """Potential = static spec + dynamic ensemble params.
+
+    Registered as a pytree with `spec` static, so it can be passed straight
+    through `jax.jit` boundaries.
+    """
+
+    spec: ANISpec = dataclasses.field(metadata=dict(static=True))
+    params: list  # stacked ensemble params (networks.init_network_params)
+
+    @property
+    def num_models(self) -> int:
+        return self.params[0][0]["w"].shape[0]
+
+    def select_models(self, num_models: Optional[int]) -> "ANIPotential":
+        """Reference `select_models` (lammps_ani.py:332-343): static slice."""
+        return ANIPotential(
+            spec=self.spec, params=netmod.select_models(self.params, num_models)
+        )
+
+
+def atomic_energies(
+    pot: ANIPotential,
+    species: jax.Array,  # [n] local species, -1 padding
+    pos: jax.Array,  # [n, 3] local positions
+    box: nbops.Box,
+    nlist: nbops.NeighborList,
+    species_counts: Optional[Sequence[int]] = None,  # static; atoms species-sorted
+    local_mask: jax.Array | None = None,  # [n] bool; False = padding row
+) -> jax.Array:
+    """[n] per-atom energies in Hartree (NN + SAE + repulsion attribution).
+
+    Differentiable w.r.t. `pos` (through ghost images) and `box.h`.
+    """
+    spec = pot.spec
+    if local_mask is None:
+        local_mask = species >= 0
+
+    species_ext = nbops.extended_species(species, nlist.ghosts)
+    diff, dist = nbops.neighbor_displacements(pos, box, nlist)
+    species_j = species_ext[nlist.idx]
+    nbr_mask = nlist.mask & (species_j >= 0)
+
+    aev = aevmod.compute_aev(
+        spec.aev,
+        species,
+        diff,
+        dist,
+        species_j,
+        nbr_mask,
+        angular_capacity=spec.angular_capacity,
+        atom_chunk=spec.atom_chunk,
+    )
+
+    if species_counts is not None:
+        atomic = netmod.atomic_energies_sorted(
+            spec.net, pot.params, species_counts, aev
+        )
+    else:
+        atomic = netmod.atomic_energies_masked(spec.net, pot.params, species, aev)
+    e = netmod.ensemble_energies(atomic)  # [n]
+    e = e + spec.shifter(species, dtype=e.dtype)
+    if spec.repulsion is not None:
+        n = pos.shape[0]
+        ghost_j = nlist.idx >= n  # neighbors indexing into the ghost block
+        e = e + repmod.repulsion_energies(
+            spec.repulsion,
+            species,
+            species_j,
+            dist,
+            nbr_mask,
+            ghost_center=~local_mask,
+            ghost_j=ghost_j,
+        )
+    return jnp.where(local_mask, e, 0.0)
+
+
+def potential_energy(pot, species, pos, box, nlist, species_counts=None,
+                     local_mask=None) -> jax.Array:
+    """Scalar total energy in Hartree."""
+    return jnp.sum(
+        atomic_energies(pot, species, pos, box, nlist, species_counts, local_mask)
+    )
+
+
+def energy_forces(
+    pot, species, pos, box, nlist, species_counts=None, local_mask=None
+):
+    """(E [Hartree], F [n,3] Hartree/Angstrom). F includes ghost-image terms
+    reduced onto owners automatically by autograd (the reference needs an
+    explicit reverse MPI communication for this, pair_ani.cpp:461-484)."""
+    e, grad = jax.value_and_grad(potential_energy, argnums=2)(
+        pot, species, pos, box, nlist, species_counts, local_mask
+    )
+    return e, -grad
+
+
+def energy_forces_virial(
+    pot, species, pos, box, nlist, species_counts=None, local_mask=None
+):
+    """(E, F, W): virial W = -dE/d(strain) [3,3 symmetric, Hartree].
+
+    Implemented by differentiating through r -> r @ (I + eps),
+    h -> h @ (I + eps) at eps = 0. Equals the reference's partial-fdotr
+    virial (lammps_ani.py:195-201) including periodic-image contributions.
+    """
+
+    def deformed_energy(eps, pos_):
+        deform = jnp.eye(3, dtype=pos_.dtype) + eps
+        pos_d = pos_ @ deform
+        box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+        return potential_energy(
+            pot, species, pos_d, box_d, nlist, species_counts, local_mask
+        )
+
+    eps0 = jnp.zeros((3, 3), pos.dtype)
+    e, (deps, dpos) = jax.value_and_grad(deformed_energy, argnums=(0, 1))(eps0, pos)
+    virial = -0.5 * (deps + deps.T)
+    return e, -dpos, virial
