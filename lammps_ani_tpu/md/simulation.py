@@ -104,6 +104,7 @@ class Simulation:
         self.dof = 3 * n - 3
         self.n_atoms = n
         self._shifts = nbops.image_shifts(nbr.n_shell)
+        self._grid = None  # CellGrid, host-computed in init_state
         self._chunk_cache = {}
 
     # ---------- setup ----------
@@ -120,6 +121,11 @@ class Simulation:
         pos = jnp.asarray(np.asarray(pos)[self.order], self.dtype)
         box = nbops.Box(h=jnp.asarray(box.h, self.dtype),
                         origin=jnp.asarray(box.origin, self.dtype))
+        if self.nbr.use_cell_list and self._grid is None:
+            from ..ops import cell_list as clmod
+            self._grid = clmod.CellGrid.for_box(
+                np.asarray(box.h), self.nbr.rlist, self.nbr.cell_capacity)
+            # None => box too small for a 3x3x3 grid; brute build instead.
         key = jax.random.PRNGKey(seed)
         if vel is not None:
             vel = jnp.asarray(np.asarray(vel)[self.order], self.dtype)
@@ -148,11 +154,11 @@ class Simulation:
     def _build_nlist(self, pos, box):
         ghosts = nbops.build_ghosts(
             pos, box, self.nbr.rlist, self.nbr.ghost_capacity, self._shifts)
-        if self.nbr.use_cell_list:
+        if self.nbr.use_cell_list and self._grid is not None:
             from ..ops import cell_list as clmod
             return clmod.build_neighbor_matrix_cells(
                 pos, box, self.nbr.rlist, self.nbr.k_max, ghosts,
-                cell_capacity=self.nbr.cell_capacity)
+                grid=self._grid)
         return nbops.build_neighbor_matrix_brute(
             pos, box, self.nbr.rlist, self.nbr.k_max, ghosts)
 

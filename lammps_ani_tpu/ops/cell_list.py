@@ -1,0 +1,225 @@
+"""O(N) binned cell-list neighbor construction (fixed-shape, jittable).
+
+TPU-native equivalent of LAMMPS's binned neighbor build (SURVEY.md L5:
+`Neighbor::build` bin cell lists with skin; consumed by the reference's
+pair styles as flattened lists, /root/reference/src/pair_ani.cpp:104-151).
+Differences forced by (and benefiting) XLA:
+
+  * All shapes static. The grid dimensions, per-cell capacity, and per-atom
+    neighbor capacity `k_max` are host-chosen ints; true counts are computed
+    on device and surfaced so the host can rebuild with larger capacities
+    (`NeighborList.overflowed`).
+  * The cell table is built by one sort + scatter (no atomics): atoms are
+    sorted by flat cell id, ranked within their cell by a searchsorted
+    trick, and scattered into a dense `[n_cells, cell_capacity]` table.
+  * The query gathers the 27 neighboring cells' slots per atom — a fixed
+    `[27 * cell_capacity]` candidate window — then distance-prunes and
+    compacts to `k_max` slots. Chunked over atoms with `lax.map` to bound
+    the candidate-window memory.
+
+The output `NeighborList` is bit-compatible with the brute-force builder in
+ops/neighbors.py (same padded `[n, k_max]` matrix over the extended
+local+ghost array), so the potential code is agnostic to which built it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import neighbors as nbops
+
+
+@dataclasses.dataclass(frozen=True)
+class CellGrid:
+    """Static cell-grid geometry (host-computed; jit-static).
+
+    The grid covers the primary cell expanded by the ghost margin on each
+    side, in fractional coordinates: axis i spans
+    [-margin_frac[i], 1 + margin_frac[i]).
+    """
+
+    ncells: tuple[int, int, int]
+    margin_frac: tuple[float, float, float]
+    cell_capacity: int
+
+    @property
+    def total_cells(self) -> int:
+        nx, ny, nz = self.ncells
+        return nx * ny * nz
+
+    @staticmethod
+    def for_box(
+        box_h: np.ndarray,
+        rlist: float,
+        cell_capacity: int,
+        target_cell_side: float | None = None,
+    ) -> "CellGrid | None":
+        """Host-side grid sizing. Returns None if the box is too small for a
+        cell list (fewer than 3 cells along an axis -> aliasing); callers
+        fall back to the brute builder then."""
+        h = np.asarray(box_h, np.float64)
+        v = abs(np.dot(h[0], np.cross(h[1], h[2])))
+        perp = np.array(
+            [
+                v / np.linalg.norm(np.cross(h[1], h[2])),
+                v / np.linalg.norm(np.cross(h[2], h[0])),
+                v / np.linalg.norm(np.cross(h[0], h[1])),
+            ]
+        )
+        side = target_cell_side or rlist
+        margin_frac = rlist / perp
+        ncells = []
+        for i in range(3):
+            extent = perp[i] * (1.0 + 2.0 * margin_frac[i])
+            n = int(math.floor(extent / side))
+            if n < 3:
+                return None
+            ncells.append(n)
+        return CellGrid(
+            ncells=tuple(ncells),
+            margin_frac=tuple(float(m) for m in margin_frac),
+            cell_capacity=cell_capacity,
+        )
+
+
+def _cell_coords(grid: CellGrid, frac: jax.Array) -> jax.Array:
+    """[m, 3] integer cell coords for fractional positions (clipped)."""
+    out = []
+    for i in range(3):
+        m = grid.margin_frac[i]
+        n = grid.ncells[i]
+        u = (frac[..., i] + m) / (1.0 + 2.0 * m)  # [0,1) inside grid
+        c = jnp.floor(u * n).astype(jnp.int32)
+        out.append(jnp.clip(c, 0, n - 1))
+    return jnp.stack(out, axis=-1)
+
+
+def _flat_cell(grid: CellGrid, coords: jax.Array) -> jax.Array:
+    nx, ny, nz = grid.ncells
+    return (coords[..., 0] * ny + coords[..., 1]) * nz + coords[..., 2]
+
+
+def build_cell_table(grid: CellGrid, cell_ids: jax.Array, valid: jax.Array):
+    """Dense [n_cells, capacity] table of atom indices (sentinel = m).
+
+    One sort + rank-by-searchsorted + scatter; no atomics, no dynamic
+    shapes. Returns (table, max_cell_count) for overflow detection.
+    """
+    m = cell_ids.shape[0]
+    sentinel_cell = grid.total_cells  # invalid atoms sort to the end
+    ids = jnp.where(valid, cell_ids, sentinel_cell)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    first = jnp.searchsorted(ids_sorted, ids_sorted, side="left")
+    rank = jnp.arange(m, dtype=jnp.int32) - first.astype(jnp.int32)
+    counts_ok = rank < grid.cell_capacity
+    in_grid = ids_sorted < sentinel_cell
+    scatter_cell = jnp.where(counts_ok & in_grid, ids_sorted, sentinel_cell)
+    table = jnp.full((grid.total_cells + 1, grid.cell_capacity), m, jnp.int32)
+    table = table.at[scatter_cell, jnp.clip(rank, 0, grid.cell_capacity - 1)].set(
+        order.astype(jnp.int32), mode="drop"
+    )
+    max_count = jnp.max(jnp.where(in_grid, rank, -1)) + 1
+    return table[:-1], max_count
+
+
+_NEIGHBOR_OFFSETS = np.array(
+    [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1) for k in (-1, 0, 1)],
+    np.int32,
+)  # [27, 3]
+
+
+def build_neighbor_matrix_cells(
+    pos: jax.Array,  # [n, 3] local wrapped positions
+    box: nbops.Box,
+    rlist: float,
+    k_max: int,
+    ghosts: nbops.Ghosts,
+    *,
+    grid: CellGrid,
+    valid: jax.Array | None = None,
+    atom_chunk: int = 1024,
+) -> nbops.NeighborList:
+    """Cell-list neighbor build; same output contract as
+    ops/neighbors.build_neighbor_matrix_brute."""
+    n = pos.shape[0]
+    pos_ext = nbops.extended_positions(pos, box, ghosts)
+    m = pos_ext.shape[0]
+    frac_ext = box.to_fractional(pos_ext)
+    ext_valid = jnp.concatenate(
+        [jnp.ones((n,), bool) if valid is None else valid, ghosts.mask]
+    )
+
+    coords = _cell_coords(grid, frac_ext)  # [m, 3]
+    cell_ids = _flat_cell(grid, coords)
+    table, max_cell_count = build_cell_table(grid, cell_ids, ext_valid)
+
+    offsets = jnp.asarray(_NEIGHBOR_OFFSETS)  # [27, 3]
+    ncells = jnp.asarray(grid.ncells, jnp.int32)
+    cutoff2 = jnp.asarray(rlist, pos.dtype) ** 2
+    n_cand = 27 * grid.cell_capacity
+
+    local_valid = ext_valid[:n]
+
+    def query_chunk(args):
+        idx_c, = args  # [c] atom indices
+        pos_c = pos[idx_c]  # [c, 3]
+        cc = coords[idx_c]  # [c, 3]
+        nbr_cells = cc[:, None, :] + offsets[None, :, :]  # [c, 27, 3]
+        # Cells outside the grid don't exist (nothing lives beyond the ghost
+        # margin); mask them rather than clip — clipping would alias edge
+        # cells and duplicate their atoms in the candidate window.
+        in_grid = jnp.all((nbr_cells >= 0) & (nbr_cells < ncells), axis=-1)
+        nbr_flat = _flat_cell(grid, jnp.clip(nbr_cells, 0, ncells - 1))
+        cand = jnp.where(in_grid[..., None], table[nbr_flat], m)
+        cand = cand.reshape(-1, n_cand)  # [c, 27*cap]
+        cand_safe = jnp.minimum(cand, m - 1)
+        cpos = pos_ext[cand_safe]  # [c, n_cand, 3]
+        d = pos_c[:, None, :] - cpos
+        dist2 = jnp.sum(d * d, axis=-1)
+        mask = (
+            (cand < m)
+            & (dist2 < cutoff2)
+            & (cand != idx_c[:, None])
+            & local_valid[idx_c][:, None]
+        )
+        counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+        key = jnp.where(mask, dist2, jnp.inf)
+        k_eff = min(k_max, n_cand)
+        neg_key, sel = jax.lax.top_k(-key, k_eff)
+        if k_eff < k_max:
+            neg_key = jnp.pad(
+                neg_key, ((0, 0), (0, k_max - k_eff)), constant_values=-jnp.inf
+            )
+            sel = jnp.pad(sel, ((0, 0), (0, k_max - k_eff)))
+        nbr_mask = jnp.isfinite(neg_key)
+        nbr_idx = jnp.where(
+            nbr_mask, jnp.take_along_axis(cand_safe, sel, axis=1), 0
+        ).astype(jnp.int32)
+        return nbr_idx, nbr_mask, jnp.max(counts)
+
+    pad_n = -(-n // atom_chunk) * atom_chunk
+    atom_idx = jnp.arange(pad_n, dtype=jnp.int32) % n  # wrap padding rows
+    chunks = atom_idx.reshape(-1, atom_chunk)
+    if chunks.shape[0] == 1:
+        nbr_idx, nbr_mask, max_deg = query_chunk((chunks[0],))
+        nbr_idx = nbr_idx[:n]
+        nbr_mask = nbr_mask[:n]
+    else:
+        nbr_idx, nbr_mask, max_degs = jax.lax.map(query_chunk, (chunks,))
+        nbr_idx = nbr_idx.reshape(pad_n, k_max)[:n]
+        nbr_mask = nbr_mask.reshape(pad_n, k_max)[:n]
+        max_deg = jnp.max(max_degs)
+
+    # Cell-table overflow would silently drop candidates; fold it into the
+    # max_count overflow channel by reporting k_max+1 when the table clipped.
+    max_deg = jnp.where(max_cell_count > grid.cell_capacity, k_max + 1, max_deg)
+    return nbops.NeighborList(
+        idx=nbr_idx, mask=nbr_mask, ghosts=ghosts, max_count=max_deg
+    )
