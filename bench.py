@@ -1,0 +1,96 @@
+"""Headline benchmark on real TPU hardware.
+
+Measures MD throughput of the flagship config — ANI-2x (1 model, fp32,
+cutoff 5.1 A) water box — mirroring the reference's benchmark campaign
+(/root/reference/examples/benchmark: 100k-atom water, 0.5 fs, kokkos,
+A100 baseline 1.495 ns/day = 34.6 steps/s, BASELINE.md strong-scaling
+table). Prints ONE JSON line.
+
+The timed region is the jitted MD chunk (neighbor rebuild + fused steps),
+called back-to-back like a production run; host-side overflow checks are
+outside the timed loop, matching how Simulation.run amortizes them.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_NS_PER_DAY = 1.495  # A100, 100k water, 0.5 fs, 1 model (BASELINE.md)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import lammps_ani_tpu as lat
+    from lammps_ani_tpu.io import lammps_data as ldio
+    from lammps_ani_tpu.models import zoo
+
+    n_rep = int(os.environ.get("BENCH_REP", "15"))  # 15^3 * 30 = 101,250
+    dt = 0.5
+    steps_per_chunk = 10
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "5"))
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        n_rep, n_rep, n_rep)
+    n_atoms = data.n_atoms
+
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
+                    atom_chunk=min(2048, 30 * n_rep ** 3))
+    sim = lat.Simulation(
+        potential=pot, species=data.species,
+        masses=data.masses_by_type[data.species],
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, k_max=128,
+                               ghost_capacity=max(4096, n_atoms // 2),
+                               rebuild_every=steps_per_chunk,
+                               use_cell_list=n_rep >= 3, cell_capacity=64),
+        dt=dt, dtype=jnp.float32)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
+                  origin=jnp.asarray(data.box_origin, jnp.float32))
+    state = sim.init_state(data.positions, box, temp=300.0, seed=1,
+                           compute_virial=True)
+
+    fn = sim._jitted_chunk(steps_per_chunk)
+
+    # warmup / compile
+    state2, traj, disp, overflowed = fn(state)
+    jax.block_until_ready(state2.pos)
+    assert not bool(overflowed), "capacity overflow in bench config"
+
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(n_chunks):
+        s, traj, disp, overflowed = fn(s)
+    jax.block_until_ready(s.pos)
+    t1 = time.perf_counter()
+
+    total_steps = n_chunks * steps_per_chunk
+    ms_per_step = (t1 - t0) * 1e3 / total_steps
+    steps_per_s = 1e3 / ms_per_step
+    ns_per_day = dt * 86400.0 / ms_per_step * 1e-6
+    matom_steps = n_atoms * steps_per_s / 1e6
+
+    result = {
+        "metric": f"water{n_atoms // 1000}k_ns_per_day",
+        "value": round(ns_per_day, 4),
+        "unit": "ns/day",
+        "vs_baseline": round(ns_per_day / BASELINE_NS_PER_DAY, 4),
+        "detail": {
+            "n_atoms": n_atoms,
+            "ms_per_step": round(ms_per_step, 3),
+            "steps_per_s": round(steps_per_s, 3),
+            "matom_steps_per_s": round(matom_steps, 4),
+            "dt_fs": dt,
+            "device": str(jax.devices()[0]),
+            "baseline": "A100 100k water 1.495 ns/day (BASELINE.md)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -118,8 +118,12 @@ class NoseHoover:
         qk = kt * self.tdamp**2
         return q1, qk
 
-    def half_step(self, ts: ThermostatState, vel, masses, dof, dt):
-        """Advance chain by dt/2 and scale velocities (Martyna-Tuckerman)."""
+    def half_step(self, ts: ThermostatState, vel, masses, dof, dt, ke2=None):
+        """Advance chain by dt/2 and scale velocities (Martyna-Tuckerman).
+
+        `ke2` = 2x total kinetic energy; pass the globally psum-reduced
+        value in sharded runs (parallel/sim.py) so every shard advances an
+        identical replicated chain."""
         kt = units.BOLTZ * self.temp
         q1, qk = self.masses_q(dof)
         q = jnp.concatenate([
@@ -127,7 +131,8 @@ class NoseHoover:
             jnp.full((self.chain - 1,), qk, vel.dtype),
         ])
         eta, eta_dot = ts.eta, ts.eta_dot
-        ke2 = 2.0 * kinetic_energy(vel, masses)  # 2*KE
+        if ke2 is None:
+            ke2 = 2.0 * kinetic_energy(vel, masses)  # 2*KE
         scale = jnp.asarray(1.0, vel.dtype)
         dts = dt / (2.0 * self.loops)
         for _ in range(self.loops):

@@ -72,27 +72,36 @@ class ANIPotential:
         )
 
 
-def atomic_energies(
+def atomic_energies_ext(
     pot: ANIPotential,
     species: jax.Array,  # [n] local species, -1 padding
     pos: jax.Array,  # [n, 3] local positions
-    box: nbops.Box,
-    nlist: nbops.NeighborList,
-    species_counts: Optional[Sequence[int]] = None,  # static; atoms species-sorted
-    local_mask: jax.Array | None = None,  # [n] bool; False = padding row
+    pos_ext: jax.Array,  # [m, 3] extended (local + ghost) positions
+    species_ext: jax.Array,  # [m] extended species, -1 for invalid/ghost-pad
+    idx: jax.Array,  # [n, k] neighbor indices into the extended arrays
+    mask: jax.Array,  # [n, k] neighbor validity
+    species_counts: Optional[Sequence[int]] = None,
+    local_mask: jax.Array | None = None,
 ) -> jax.Array:
-    """[n] per-atom energies in Hartree (NN + SAE + repulsion attribution).
+    """[n] per-atom energies from explicit extended arrays.
 
-    Differentiable w.r.t. `pos` (through ghost images) and `box.h`.
+    The lowest-level potential entry point: both the single-device path
+    (ghosts derived from periodic images, `atomic_energies`) and the
+    multi-chip path (ghosts received via ICI halo exchange,
+    parallel/domain.py) feed it. Differentiable w.r.t. `pos` and `pos_ext`;
+    the caller's construction of `pos_ext` determines where ghost forces
+    flow (owner atoms or remote shards via ppermute transpose).
     """
     spec = pot.spec
     if local_mask is None:
         local_mask = species >= 0
 
-    species_ext = nbops.extended_species(species, nlist.ghosts)
-    diff, dist = nbops.neighbor_displacements(pos, box, nlist)
-    species_j = species_ext[nlist.idx]
-    nbr_mask = nlist.mask & (species_j >= 0)
+    pj = pos_ext[idx]  # [n, k, 3]
+    diff = pos[:, None, :] - pj
+    dist = jnp.linalg.norm(jnp.where(mask[..., None], diff, 1.0), axis=-1)
+    dist = jnp.where(mask, dist, 1e6)
+    species_j = species_ext[idx]
+    nbr_mask = mask & (species_j >= 0)
 
     aev = aevmod.compute_aev(
         spec.aev,
@@ -115,7 +124,7 @@ def atomic_energies(
     e = e + spec.shifter(species, dtype=e.dtype)
     if spec.repulsion is not None:
         n = pos.shape[0]
-        ghost_j = nlist.idx >= n  # neighbors indexing into the ghost block
+        ghost_j = idx >= n  # neighbors indexing into the ghost block
         e = e + repmod.repulsion_energies(
             spec.repulsion,
             species,
@@ -126,6 +135,28 @@ def atomic_energies(
             ghost_j=ghost_j,
         )
     return jnp.where(local_mask, e, 0.0)
+
+
+def atomic_energies(
+    pot: ANIPotential,
+    species: jax.Array,  # [n] local species, -1 padding
+    pos: jax.Array,  # [n, 3] local positions
+    box: nbops.Box,
+    nlist: nbops.NeighborList,
+    species_counts: Optional[Sequence[int]] = None,  # static; atoms species-sorted
+    local_mask: jax.Array | None = None,  # [n] bool; False = padding row
+) -> jax.Array:
+    """[n] per-atom energies in Hartree (NN + SAE + repulsion attribution).
+
+    Single-device entry: ghosts are periodic images derived from `nlist`.
+    Differentiable w.r.t. `pos` (through ghost images) and `box.h`.
+    """
+    pos_ext = nbops.extended_positions(pos, box, nlist.ghosts)
+    species_ext = nbops.extended_species(species, nlist.ghosts)
+    return atomic_energies_ext(
+        pot, species, pos, pos_ext, species_ext, nlist.idx, nlist.mask,
+        species_counts, local_mask,
+    )
 
 
 def potential_energy(pot, species, pos, box, nlist, species_counts=None,

@@ -1,0 +1,333 @@
+"""Multi-chip spatial domain decomposition over a TPU device mesh.
+
+TPU-native replacement for the reference's scale-out machinery: LAMMPS 3-D
+brick decomposition + MPI ghost exchange (SURVEY.md §2.3;
+/root/reference/src/pair_ani.cpp:255-283,461-484). Design:
+
+  * The global box is cut into a (px, py, pz) grid of equal fractional
+    bricks, one per device of a `jax.sharding.Mesh` with axes
+    ("dx", "dy", "dz"). Every per-atom array is `[n_shards * n_cap, ...]`
+    sharded on dim 0; each shard holds `n_cap` fixed slots (invalid slots
+    carry species -1), so every shape is static.
+
+  * Halo exchange is the LAMMPS 6-way staged protocol re-expressed as
+    `lax.ppermute` over mesh axes: stage x sends boundary-margin atoms to
+    the left/right x-neighbor, stage y operates on local+x-ghosts, stage z
+    on all of it — corner ghosts fall out automatically. An axis of size 1
+    degenerates to a self-send, which *is* periodic-image construction, so
+    the same code path covers both sharded and unsharded directions.
+
+  * There is no reverse force communication. Per-step ghost positions are
+    recomputed from owner positions *inside* the differentiated energy
+    function (`halo_positions`), so `jax.grad` transposes the gathers into
+    scatters and each `ppermute` into its inverse permutation — ghost
+    forces arrive back on their owners' shards by construction. This
+    replaces `PairANI::pack/unpack_reverse_comm` + newton bookkeeping
+    (/root/reference/src/pair_ani.cpp:374-390,461-484) with autodiff.
+
+  * Atom migration between bricks happens at neighbor rebuilds, staged
+    per sharded axis like LAMMPS `Comm::exchange` (diagonal moves resolve
+    over successive axis passes). Capacities are static; true counts are
+    reduced with `lax.pmax` and surfaced to the host for rebuild-bigger.
+
+Geometry contract: every brick extent must be >= rlist (cutoff + skin)
+so halos come only from adjacent bricks — the same constraint LAMMPS
+imposes for single-hop communication. Checked host-side in
+`DomainSimulation`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from ..ops import neighbors as nbops
+
+AXIS_NAMES = ("dx", "dy", "dz")
+_FAR = 1.0e6  # parking position for invalid slots
+
+
+@dataclasses.dataclass(frozen=True)
+class DomainSpec:
+    """Static decomposition geometry and capacities (jit-static)."""
+
+    mesh_shape: tuple[int, int, int]
+    n_cap: int  # owned-atom slots per shard
+    halo_cap: tuple[int, int, int]  # ghost slots per direction, per axis stage
+    mig_cap: int = 256  # migration slots per direction per axis
+    k_max: int = 160  # neighbor slots per atom
+
+    @property
+    def n_shards(self) -> int:
+        px, py, pz = self.mesh_shape
+        return px * py * pz
+
+    @property
+    def n_ext(self) -> int:
+        return self.n_cap + 2 * sum(self.halo_cap)
+
+
+def _pack(mask: jax.Array, cap: int):
+    """Fixed-capacity compaction: indices of True entries (+validity/count)."""
+    n = mask.shape[0]
+    idx, = jnp.nonzero(mask, size=cap, fill_value=n)
+    valid = idx < n
+    return jnp.minimum(idx, n - 1).astype(jnp.int32), valid, jnp.sum(
+        mask, dtype=jnp.int32
+    )
+
+
+def _ppshift(x, axis: int, mesh_shape, direction: int):
+    """ppermute along mesh axis `axis`: direction +1 sends to the right
+    neighbor (so each shard receives from its left). Identity when the
+    axis has a single shard — which turns the exchange into periodic
+    self-images."""
+    p = mesh_shape[axis]
+    if p == 1:
+        return x
+    perm = [(i, (i + direction) % p) for i in range(p)]
+    return lax.ppermute(x, AXIS_NAMES[axis], perm)
+
+
+def _axis_index(axis: int, mesh_shape) -> jax.Array:
+    if mesh_shape[axis] == 1:
+        return jnp.zeros((), jnp.int32)
+    return lax.axis_index(AXIS_NAMES[axis])
+
+
+def _frac_axis(pos: jax.Array, box: nbops.Box, axis: int) -> jax.Array:
+    return box.to_fractional(pos)[:, axis]
+
+
+# ---------------------------------------------------------------------------
+# Halo plan: built at rebuild, frozen between rebuilds.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloStage:
+    """One (axis, direction) exchange: what this shard sends, and the
+    metadata of what it receives (species/validity are rebuild-constant)."""
+
+    send_idx: jax.Array  # [cap] into the ext-so-far array
+    send_valid: jax.Array  # [cap]
+    send_shift: jax.Array  # [] float: +-1/0, lattice shift along the axis
+    recv_valid: jax.Array  # [cap]
+    recv_species: jax.Array  # [cap]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class HaloPlan:
+    stages: list  # 6 HaloStage: (x->right, x->left, y->right, ...)
+    overflow: jax.Array  # [] bool
+
+    def ext_species(self, species_local: jax.Array) -> jax.Array:
+        parts = [species_local]
+        for st in self.stages:
+            parts.append(jnp.where(st.recv_valid, st.recv_species, -1))
+        return jnp.concatenate(parts)
+
+    def ext_valid(self, valid_local: jax.Array) -> jax.Array:
+        parts = [valid_local]
+        for st in self.stages:
+            parts.append(st.recv_valid)
+        return jnp.concatenate(parts)
+
+
+def build_halo_plan(
+    spec: DomainSpec,
+    pos: jax.Array,  # [n_cap, 3] wrapped owned positions
+    species: jax.Array,  # [n_cap] (-1 invalid)
+    valid: jax.Array,  # [n_cap]
+    box: nbops.Box,
+    rlist: float,
+) -> HaloPlan:
+    """Runs under shard_map. Builds the 6-stage exchange plan.
+
+    Both directions of an axis source from the set accumulated over the
+    *previous* axes (locals + earlier-axis ghosts); ghosts received along
+    an axis are never re-sent along that same axis. This is the LAMMPS
+    staging invariant that makes corner ghosts appear exactly once."""
+    perp = box.perp_lengths()
+    stages = []
+    ext_pos = pos
+    ext_species = species
+    ext_valid = valid
+    overflow = jnp.zeros((), bool)
+
+    for axis in range(3):
+        p = spec.mesh_shape[axis]
+        cap = spec.halo_cap[axis]
+        me = _axis_index(axis, spec.mesh_shape)
+        margin = jnp.asarray(rlist, pos.dtype) / perp[axis]
+        lo = me.astype(pos.dtype) / p
+        hi = (me.astype(pos.dtype) + 1.0) / p
+
+        # frozen source set for this axis (both directions)
+        src_pos, src_species, src_valid = ext_pos, ext_species, ext_valid
+        frac = _frac_axis(src_pos, box, axis)
+        for direction in (+1, -1):
+            if direction == +1:  # send top margin to right neighbor
+                send_mask = src_valid & (frac >= hi - margin)
+                shift = jnp.where(me == p - 1, -1.0, 0.0).astype(pos.dtype)
+            else:  # send bottom margin to left neighbor
+                send_mask = src_valid & (frac < lo + margin)
+                shift = jnp.where(me == 0, 1.0, 0.0).astype(pos.dtype)
+            send_idx, send_valid, count = _pack(send_mask, cap)
+            overflow = overflow | (count > cap)
+            recv_valid = _ppshift(send_valid, axis, spec.mesh_shape, direction)
+            recv_species = _ppshift(
+                jnp.where(send_valid, src_species[send_idx], -1),
+                axis, spec.mesh_shape, direction,
+            )
+            st = HaloStage(
+                send_idx=send_idx, send_valid=send_valid, send_shift=shift,
+                recv_valid=recv_valid, recv_species=recv_species,
+            )
+            stages.append(st)
+            # materialize received ghosts; they join the source set of the
+            # NEXT axis (src_* for this axis stays frozen)
+            g = halo_stage_positions(src_pos, box, st, axis, spec.mesh_shape,
+                                     direction)
+            ext_pos = jnp.concatenate([ext_pos, g])
+            ext_species = jnp.concatenate(
+                [ext_species, jnp.where(st.recv_valid, st.recv_species, -1)])
+            ext_valid = jnp.concatenate([ext_valid, st.recv_valid])
+
+    return HaloPlan(stages=stages, overflow=overflow)
+
+
+def halo_stage_positions(src_pos, box, stage: HaloStage, axis, mesh_shape,
+                         direction):
+    """[cap, 3] ghost positions received in one stage (differentiable)."""
+    p = jnp.where(stage.send_valid[:, None],
+                  src_pos[stage.send_idx], _FAR)
+    p = p + stage.send_shift * box.h[axis]
+    p = _ppshift(p, axis, mesh_shape, direction)
+    return jnp.where(stage.recv_valid[:, None], p, _FAR)
+
+
+def halo_positions(spec: DomainSpec, pos: jax.Array, box: nbops.Box,
+                   plan: HaloPlan) -> jax.Array:
+    """[n_ext, 3] extended positions from current owned positions.
+
+    Re-run every step inside the differentiated energy (the forward
+    position comm); its transpose under jax.grad is the reverse force
+    comm. Stage order must match build_halo_plan exactly."""
+    ext = pos
+    si = 0
+    for axis in range(3):
+        cur = ext  # both directions of an axis source from the same set
+        for direction in (+1, -1):
+            g = halo_stage_positions(cur, box, plan.stages[si], axis,
+                                     spec.mesh_shape, direction)
+            ext = jnp.concatenate([ext, g])
+            si += 1
+    return ext
+
+
+# ---------------------------------------------------------------------------
+# Atom migration (rebuild-time, staged per sharded axis)
+# ---------------------------------------------------------------------------
+
+def migrate(spec: DomainSpec, payload: dict, valid: jax.Array,
+            box: nbops.Box):
+    """Move atoms whose wrapped position left this brick to the owning
+    neighbor shard. payload: dict of [n_cap, ...] arrays incl. "pos".
+    Returns (payload, valid, overflow)."""
+    overflow = jnp.zeros((), bool)
+    for axis in range(3):
+        p = spec.mesh_shape[axis]
+        if p == 1:
+            continue
+        me = _axis_index(axis, spec.mesh_shape)
+        frac = _frac_axis(payload["pos"], box, axis)
+        target = jnp.clip(jnp.floor(frac * p).astype(jnp.int32), 0, p - 1)
+        go_right = valid & (target == (me + 1) % p)
+        go_left = valid & (target == (me - 1) % p)
+        if p == 2:  # right and left neighbor coincide; send one way only
+            go_left = go_left & ~go_right
+        stray = valid & (target != me) & ~go_right & ~go_left
+        overflow = overflow | jnp.any(stray)  # >1-brick hop unsupported
+        stay = valid & ~go_right & ~go_left
+
+        parts = {k: [jnp.where(_bshape(stay, v), v, 0)]
+                 for k, v in payload.items()}
+        valid_parts = [stay]
+        for direction, mask in ((+1, go_right), (-1, go_left)):
+            idx, pk_valid, count = _pack(mask, spec.mig_cap)
+            overflow = overflow | (count > spec.mig_cap)
+            rv = _ppshift(pk_valid, axis, spec.mesh_shape, direction)
+            for k, v in payload.items():
+                sent = jnp.where(_bshape(pk_valid, v[idx]), v[idx], 0)
+                parts[k].append(
+                    _ppshift(sent, axis, spec.mesh_shape, direction))
+            valid_parts.append(rv)
+
+        comb_valid = jnp.concatenate(valid_parts)
+        overflow = overflow | (
+            jnp.sum(comb_valid, dtype=jnp.int32) > spec.n_cap)
+        order = jnp.argsort(~comb_valid, stable=True)[: spec.n_cap]
+        valid = comb_valid[order]
+        payload = {
+            k: jnp.concatenate(parts[k])[order] for k in payload
+        }
+    # normalize invalid slots (fill values from packing are 0, which would
+    # otherwise alias species/gid 0)
+    payload = dict(payload)
+    payload["species"] = jnp.where(valid, payload["species"], -1)
+    if "gid" in payload:
+        payload["gid"] = jnp.where(valid, payload["gid"], -1)
+    if "mass" in payload:
+        payload["mass"] = jnp.where(valid, payload["mass"], 1.0)
+    payload["pos"] = jnp.where(valid[:, None], payload["pos"],
+                               box.origin + 0.5 * jnp.sum(box.h, axis=0))
+    return payload, valid, overflow
+
+
+def _bshape(mask, arr):
+    """Broadcast a [n] mask against [n, ...] array."""
+    return mask.reshape(mask.shape + (1,) * (arr.ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# Per-shard neighbor matrix over extended arrays
+# ---------------------------------------------------------------------------
+
+def build_neighbor_matrix_ext(
+    pos_local: jax.Array,  # [n_cap, 3]
+    valid_local: jax.Array,  # [n_cap]
+    pos_ext: jax.Array,  # [n_ext, 3]
+    valid_ext: jax.Array,  # [n_ext]
+    rlist: float,
+    k_max: int,
+):
+    """Brute per-shard neighbor build (cells variant in ops/cell_list.py
+    covers the single-device path; a per-brick cell build lands with the
+    large-system sharded bench). Returns (idx, mask, max_count)."""
+    n = pos_local.shape[0]
+    m = pos_ext.shape[0]
+    d = pos_local[:, None, :] - pos_ext[None, :, :]
+    dist2 = jnp.sum(d * d, axis=-1)
+    within = dist2 < jnp.asarray(rlist, pos_local.dtype) ** 2
+    not_self = jnp.arange(n)[:, None] != jnp.arange(m)[None, :]
+    mask = within & not_self & valid_ext[None, :] & valid_local[:, None]
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    key = jnp.where(mask, dist2, jnp.inf)
+    k_eff = min(k_max, m)
+    neg_key, idx = lax.top_k(-key, k_eff)
+    if k_eff < k_max:
+        neg_key = jnp.pad(neg_key, ((0, 0), (0, k_max - k_eff)),
+                          constant_values=-jnp.inf)
+        idx = jnp.pad(idx, ((0, 0), (0, k_max - k_eff)))
+    nbr_mask = jnp.isfinite(neg_key)
+    idx = jnp.where(nbr_mask, idx, 0).astype(jnp.int32)
+    return idx, nbr_mask, jnp.max(counts)

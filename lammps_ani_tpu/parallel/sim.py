@@ -1,0 +1,408 @@
+"""Sharded MD driver: domain-decomposed simulation over a device mesh.
+
+The multi-chip counterpart of md/simulation.Simulation, replacing the
+reference's `mpirun -np N lmp_mpi` scale-out (SURVEY.md §2.3). One jitted
+chunk = [migrate -> halo plan -> neighbor build -> scan(N fused steps)],
+the whole thing inside a single `shard_map` over a ("dx","dy","dz") mesh,
+so per-step communication is XLA collectives riding ICI and there are zero
+host round-trips inside a rebuild interval.
+
+The 2-shard parity test (tests/test_parallel.py) is the equivalent of the
+reference's 2-rank MPI tests (/root/reference/tests/test_lmp_with_ase.py:
+224-232); on TPU the same process drives 8 virtual devices.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import units
+from ..md import integrate
+from ..models import potential as potmod
+from ..ops import neighbors as nbops
+from . import domain
+from .domain import AXIS_NAMES, DomainSpec
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedState:
+    """Global sharded MD state: arrays are [n_shards * n_cap, ...] with
+    dim 0 sharded over the flattened mesh."""
+
+    pos: jax.Array
+    vel: jax.Array
+    force: jax.Array
+    species: jax.Array  # int32, -1 = empty slot
+    mass: jax.Array
+    gid: jax.Array  # original atom index (for gather-back / dumps)
+    box: nbops.Box  # replicated
+    step: jax.Array  # [] replicated
+    rng: jax.Array  # [] replicated key (folded with shard id on use)
+    pe: jax.Array  # [] replicated, kcal/mol
+    virial: jax.Array  # [3,3] replicated, kcal/mol
+    thermostat: object = None  # replicated
+
+    def replace(self, **kw) -> "ShardedState":
+        return dataclasses.replace(self, **kw)
+
+
+_PAYLOAD_KEYS = ("pos", "vel", "species", "mass", "gid")
+
+
+class DomainSimulation:
+    """Host orchestration of the sharded engine."""
+
+    def __init__(
+        self,
+        potential: potmod.ANIPotential,
+        dspec: DomainSpec,
+        cutoff: float | None = None,
+        skin: float = 2.0,
+        rebuild_every: int = 10,
+        dt: float = 0.5,
+        integrator=None,
+        dtype=jnp.float32,
+        devices=None,
+    ):
+        self.potential = potential
+        self.dspec = dspec
+        self.cutoff = float(cutoff if cutoff is not None
+                            else potential.spec.cutoff)
+        self.skin = float(skin)
+        self.rebuild_every = int(rebuild_every)
+        self.dt = float(dt)
+        self.integrator = integrator
+        self.dtype = dtype
+        if devices is None:
+            devices = jax.devices()[: dspec.n_shards]
+        if len(devices) != dspec.n_shards:
+            raise ValueError(
+                f"need {dspec.n_shards} devices, got {len(devices)}")
+        self.mesh = Mesh(
+            np.asarray(devices).reshape(dspec.mesh_shape), AXIS_NAMES)
+        self._chunk_cache = {}
+        self.n_global = None  # set by init_state
+        self.dof = None
+
+    @property
+    def rlist(self) -> float:
+        return self.cutoff + self.skin
+
+    # ---------------- host setup ----------------
+
+    def init_state(
+        self,
+        species: np.ndarray,
+        masses: np.ndarray,
+        pos: np.ndarray,
+        box: nbops.Box,
+        vel: np.ndarray | None = None,
+        temp: float | None = None,
+        seed: int = 12345,
+    ) -> ShardedState:
+        n = len(species)
+        self.n_global = n
+        self.dof = 3 * n - 3
+        box = nbops.Box(h=jnp.asarray(np.asarray(box.h), self.dtype),
+                        origin=jnp.asarray(np.asarray(box.origin), self.dtype))
+        # geometry check: brick extent must cover rlist (single-hop halos)
+        perp = np.asarray(jax.device_get(box.perp_lengths()), np.float64)
+        for a in range(3):
+            extent = perp[a] / self.dspec.mesh_shape[a]
+            if extent < self.rlist:
+                raise ValueError(
+                    f"brick extent {extent:.2f} A along {AXIS_NAMES[a]} < "
+                    f"rlist {self.rlist:.2f} A; use fewer shards or a "
+                    "bigger box")
+
+        pos = np.asarray(jax.device_get(nbops.wrap_positions(
+            jnp.asarray(pos, self.dtype), box)))
+        if vel is None:
+            if temp is not None:
+                vel = np.asarray(jax.device_get(integrate.create_velocities(
+                    jax.random.PRNGKey(seed ^ 0x5EED),
+                    jnp.asarray(masses, self.dtype), temp, self.dof,
+                    dtype=self.dtype)))
+            else:
+                vel = np.zeros_like(pos)
+
+        # shard assignment from fractional coordinates, row-major over mesh
+        frac = np.asarray(jax.device_get(
+            box.to_fractional(jnp.asarray(pos, self.dtype))))
+        frac = np.clip(frac, 0.0, np.nextafter(1.0, 0.0))
+        px, py, pz = self.dspec.mesh_shape
+        sx = np.minimum((frac[:, 0] * px).astype(np.int64), px - 1)
+        sy = np.minimum((frac[:, 1] * py).astype(np.int64), py - 1)
+        sz = np.minimum((frac[:, 2] * pz).astype(np.int64), pz - 1)
+        shard = (sx * py + sy) * pz + sz
+
+        ns, cap = self.dspec.n_shards, self.dspec.n_cap
+        counts = np.bincount(shard, minlength=ns)
+        if counts.max() > cap:
+            raise ValueError(
+                f"shard occupancy {counts.max()} > n_cap {cap}")
+        gpos = np.zeros((ns, cap, 3), np.float64)
+        gvel = np.zeros((ns, cap, 3), np.float64)
+        gspecies = np.full((ns, cap), -1, np.int32)
+        gmass = np.ones((ns, cap), np.float64)
+        ggid = np.full((ns, cap), -1, np.int32)
+        fill = np.zeros(ns, np.int64)
+        center = np.asarray(jax.device_get(
+            box.origin + 0.5 * jnp.sum(box.h, axis=0)))
+        gpos[:] = center
+        for i in range(n):
+            s, k = shard[i], fill[shard[i]]
+            gpos[s, k] = pos[i]
+            gvel[s, k] = vel[i]
+            gspecies[s, k] = species[i]
+            gmass[s, k] = masses[i]
+            ggid[s, k] = i
+            fill[s] += 1
+
+        sh = NamedSharding(self.mesh, P(AXIS_NAMES))
+        rep = NamedSharding(self.mesh, P())
+        dev = lambda x, dt_, s: jax.device_put(jnp.asarray(x, dt_), s)
+        state = ShardedState(
+            pos=dev(gpos.reshape(ns * cap, 3), self.dtype, sh),
+            vel=dev(gvel.reshape(ns * cap, 3), self.dtype, sh),
+            force=dev(np.zeros((ns * cap, 3)), self.dtype, sh),
+            species=dev(gspecies.reshape(-1), jnp.int32, sh),
+            mass=dev(gmass.reshape(-1), self.dtype, sh),
+            gid=dev(ggid.reshape(-1), jnp.int32, sh),
+            box=nbops.Box(h=dev(box.h, self.dtype, rep),
+                          origin=dev(box.origin, self.dtype, rep)),
+            step=dev(0, jnp.int32, rep),
+            rng=jax.device_put(jax.random.PRNGKey(seed), rep),
+            pe=dev(0.0, self.dtype, rep),
+            virial=dev(np.zeros((3, 3)), self.dtype, rep),
+            thermostat=(self.integrator.init(self.dtype)
+                        if isinstance(self.integrator, integrate.NoseHoover)
+                        else None),
+        )
+        return state
+
+    # ---------------- traced internals (per shard) ----------------
+
+    def _forces_shard(self, pot, pos_l, box, species_l, valid_l, plan, idx,
+                      mask):
+        """(pe_global, force_local, virial_global) in kcal/mol units."""
+        species_ext = plan.ext_species(species_l)
+
+        def deformed_energy(eps, p):
+            deform = jnp.eye(3, dtype=p.dtype) + eps
+            p_d = p @ deform
+            box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+            pos_ext = domain.halo_positions(self.dspec, p_d, box_d, plan)
+            e_at = potmod.atomic_energies_ext(
+                pot, species_l, p_d, pos_ext, species_ext, idx, mask,
+                local_mask=valid_l)
+            return jnp.sum(e_at)
+
+        # Differentiate the *shard-local* energy, not a psum of it. The
+        # halo ppermutes inside deformed_energy run collectively, and their
+        # transposes deliver each shard's d e_local/d (imported ghost pos)
+        # back to the owning shard — so dpos below already accumulates the
+        # full force on owned atoms, summed across every shard's energy.
+        # (Wrapping the energy in psum would scale gradients by the shard
+        # count: psum's transpose re-reduces the already-replicated
+        # cotangent.) Scalars for reporting are psum-reduced afterwards.
+        eps0 = jnp.zeros((3, 3), pos_l.dtype)
+        e, (deps, dpos) = jax.value_and_grad(
+            deformed_energy, argnums=(0, 1))(eps0, pos_l)
+        e = lax.psum(e, AXIS_NAMES)
+        deps = lax.psum(deps, AXIS_NAMES)  # each shard holds partial d/deps
+        c = jnp.asarray(units.HARTREE2KCALMOL, pos_l.dtype)
+        virial = -0.5 * (deps + deps.T) * c
+        return e * c, -dpos * c, virial
+
+    def _chunk(self, state: ShardedState, pot, n_steps: int):
+        """Runs under shard_map: one rebuild + n_steps fused steps."""
+        dspec = self.dspec
+        box = state.box
+        pos = nbops.wrap_positions(state.pos, box)
+        valid = state.species >= 0
+        payload = {"pos": pos, "vel": state.vel, "species": state.species,
+                   "mass": state.mass, "gid": state.gid}
+        payload, valid, mig_overflow = domain.migrate(
+            dspec, payload, valid, box)
+        pos, species = payload["pos"], payload["species"]
+        vel, mass, gid = payload["vel"], payload["mass"], payload["gid"]
+        mass = jnp.where(valid, mass, 1.0)
+
+        plan = domain.build_halo_plan(
+            dspec, pos, species, valid, box, self.rlist)
+        pos_ext0 = domain.halo_positions(dspec, pos, box, plan)
+        idx, mask, max_deg = domain.build_neighbor_matrix_ext(
+            pos, valid, pos_ext0, plan.ext_valid(valid), self.rlist,
+            dspec.k_max)
+        overflow = lax.pmax(
+            (mig_overflow | plan.overflow | (max_deg > dspec.k_max))
+            .astype(jnp.int32), AXIS_NAMES)
+
+        pe0, force, virial0 = self._forces_shard(
+            pot, pos, box, species, valid, plan, idx, mask)
+        pos_rebuild = pos
+
+        nh = (self.integrator if isinstance(self.integrator,
+                                            integrate.NoseHoover) else None)
+        lang = (self.integrator if isinstance(self.integrator,
+                                              integrate.Langevin) else None)
+        dt = jnp.asarray(self.dt, self.dtype)
+        shard_id = _flat_shard_index(dspec.mesh_shape)
+
+        def body(carry, _):
+            pos, vel, force, ts, key, step = carry
+            if nh is not None:
+                ke2 = 2.0 * lax.psum(
+                    integrate.kinetic_energy(vel, mass, valid), AXIS_NAMES)
+                ts, vel = nh.half_step(ts, vel, mass, self.dof, dt, ke2=ke2)
+            vel = integrate.nve_halfkick(vel, force, mass, dt)
+            pos = integrate.nve_drift(pos, vel, dt)
+            pos = jnp.where(valid[:, None], pos, pos_rebuild)
+
+            pe, force, virial = self._forces_shard(
+                pot, pos, box, species, valid, plan, idx, mask)
+            if lang is not None:
+                key, sub = jax.random.split(key)
+                sub = jax.random.fold_in(sub, shard_id)
+                f_l = lang.force(sub, vel, mass, dt)
+                force = force + jnp.where(valid[:, None], f_l, 0.0)
+            vel = integrate.nve_halfkick(vel, force, mass, dt)
+            if nh is not None:
+                ke2 = 2.0 * lax.psum(
+                    integrate.kinetic_energy(vel, mass, valid), AXIS_NAMES)
+                ts, vel = nh.half_step(ts, vel, mass, self.dof, dt, ke2=ke2)
+            vel = jnp.where(valid[:, None], vel, 0.0)
+
+            ke = lax.psum(integrate.kinetic_energy(vel, mass, valid),
+                          AXIS_NAMES)
+            scalars = {
+                "pe": pe,
+                "ke": ke,
+                "temp": 2.0 * ke / (self.dof * units.BOLTZ),
+                "press": jnp.trace(
+                    (units.MVV2E * lax.psum(
+                        jnp.einsum("i,ia,ib->ab",
+                                   jnp.where(valid, mass, 0.0), vel, vel),
+                        AXIS_NAMES) + virial)
+                    / box.volume * units.NKTV2P) / 3.0,
+            }
+            return (pos, vel, force, ts, key, step + 1), (scalars, virial)
+
+        carry0 = (pos, vel, force, state.thermostat, state.rng, state.step)
+        (pos, vel, force, ts, key, step), (traj, virials) = lax.scan(
+            body, carry0, length=n_steps)
+
+        disp = lax.pmax(
+            jnp.max(jnp.linalg.norm(
+                jnp.where(valid[:, None], pos - pos_rebuild, 0.0), axis=-1)),
+            AXIS_NAMES)
+        new_state = ShardedState(
+            pos=pos, vel=vel, force=force, species=species, mass=mass,
+            gid=gid, box=box, step=step, rng=key,
+            pe=traj["pe"][-1], virial=virials[-1], thermostat=ts)
+        return new_state, traj, disp, overflow
+
+    def _jitted_chunk(self, n_steps: int):
+        if n_steps not in self._chunk_cache:
+            dspec = self.dspec
+            spec_atoms = P(AXIS_NAMES)
+            state_specs = ShardedState(
+                pos=spec_atoms, vel=spec_atoms, force=spec_atoms,
+                species=spec_atoms, mass=spec_atoms, gid=spec_atoms,
+                box=nbops.Box(h=P(), origin=P()), step=P(), rng=P(),
+                pe=P(), virial=P(),
+                thermostat=(integrate.ThermostatState(eta=P(), eta_dot=P())
+                            if isinstance(self.integrator,
+                                          integrate.NoseHoover) else None),
+            )
+            traj_spec = {k: P() for k in ("pe", "ke", "temp", "press")}
+            pot_spec = jax.tree.map(lambda _: P(), self.potential)
+            fn = _shard_map(
+                functools.partial(self._chunk, n_steps=n_steps),
+                mesh=self.mesh,
+                in_specs=(state_specs, pot_spec),
+                out_specs=(state_specs, traj_spec, P(), P()),
+            )
+            self._chunk_cache[n_steps] = jax.jit(fn)
+        return self._chunk_cache[n_steps]
+
+    # ---------------- host API ----------------
+
+    def run(self, state: ShardedState, n_steps: int,
+            thermo_every: int | None = None,
+            thermo_callback: Optional[Callable] = None):
+        rows = []
+        done = 0
+        while done < n_steps:
+            take = min(self.rebuild_every, n_steps - done)
+            new_state, traj, disp, overflow = self._jitted_chunk(take)(
+                state, self.potential)
+            if int(jax.device_get(overflow)) > 0:
+                raise RuntimeError(
+                    "capacity overflow in sharded run: raise n_cap / "
+                    "halo_cap / mig_cap / k_max")
+            if float(jax.device_get(disp)) > self.skin / 2:
+                raise RuntimeError(
+                    "atoms moved more than skin/2 between rebuilds; lower "
+                    "rebuild_every or raise skin")
+            state = new_state
+            if thermo_every:
+                traj_np = jax.tree.map(np.asarray, traj)
+                for k in range(take):
+                    step = done + k + 1
+                    if step % thermo_every == 0 or step == n_steps:
+                        row = {f: float(traj_np[f][k]) for f in traj_np}
+                        row["step"] = step
+                        row["etotal"] = row["pe"] + row["ke"]
+                        rows.append(row)
+                        if thermo_callback:
+                            thermo_callback(row)
+            done += take
+        return state, rows
+
+    def gather(self, state: ShardedState, field: str) -> np.ndarray:
+        """Collect a per-atom field back to original atom order on host."""
+        gid = np.asarray(jax.device_get(state.gid))
+        arr = np.asarray(jax.device_get(getattr(state, field)))
+        ok = gid >= 0
+        out = np.zeros((self.n_global,) + arr.shape[1:], arr.dtype)
+        out[gid[ok]] = arr[ok]
+        return out
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    """shard_map across JAX versions (jax.shard_map vs experimental)."""
+    if hasattr(jax, "shard_map"):
+        try:
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs, check_vma=False)
+        except TypeError:
+            return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                                 out_specs=out_specs)
+    from jax.experimental.shard_map import shard_map as _sm
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+               check_rep=False)
+
+
+def _flat_shard_index(mesh_shape) -> jax.Array:
+    px, py, pz = mesh_shape
+    ix = _axis_idx_or_zero(0, mesh_shape)
+    iy = _axis_idx_or_zero(1, mesh_shape)
+    iz = _axis_idx_or_zero(2, mesh_shape)
+    return (ix * py + iy) * pz + iz
+
+
+def _axis_idx_or_zero(axis, mesh_shape):
+    if mesh_shape[axis] == 1:
+        return jnp.zeros((), jnp.int32)
+    return lax.axis_index(AXIS_NAMES[axis])

@@ -1,0 +1,140 @@
+"""Domain-decomposition parity tests on the virtual 8-device CPU mesh.
+
+The TPU analog of the reference's 2-rank MPI distributed tests
+(/root/reference/tests/test_lmp_with_ase.py:224-232 and
+tests/lammps-unittest/*/run/run.sh mpirun -np 2): the sharded engine must
+reproduce the single-device engine bit-for-bit (f64) including ghost-force
+reverse communication (here: autodiff through ppermute) and atom migration.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import lammps_ani_tpu as lat
+from lammps_ani_tpu.io import lammps_data as ldio
+from lammps_ani_tpu.md import integrate
+from lammps_ani_tpu.models import zoo
+from lammps_ani_tpu.parallel.domain import DomainSpec
+from lammps_ani_tpu.parallel.sim import DomainSimulation
+
+MESHES = [(2, 1, 1), (2, 2, 1), (2, 2, 2)]
+
+
+def _water_system(rep=(3, 3, 3)):
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"), *rep)
+    return data
+
+
+def _single_device_reference(data, pot, dt, n_steps, integrator=None,
+                             seed=11):
+    sim = lat.Simulation(
+        potential=pot, species=data.species,
+        masses=data.masses_by_type[data.species],
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, k_max=160,
+                               ghost_capacity=8192, rebuild_every=2),
+        dt=dt, integrator=integrator, dtype=jnp.float64)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                  origin=jnp.asarray(data.box_origin, jnp.float64))
+    st = sim.init_state(data.positions, box,
+                        vel=np.zeros_like(data.positions))
+    if n_steps:
+        st, _ = sim.run(st, n_steps)
+    return sim, st
+
+
+def _domain_sim(data, pot, mesh_shape, dt, integrator=None):
+    dsim = DomainSimulation(
+        potential=pot,
+        dspec=DomainSpec(mesh_shape=mesh_shape, n_cap=512,
+                         halo_cap=(1024, 2048, 4096), mig_cap=128,
+                         k_max=160),
+        cutoff=5.1, skin=2.0, rebuild_every=2, dt=dt,
+        integrator=integrator, dtype=jnp.float64)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                  origin=jnp.asarray(data.box_origin, jnp.float64))
+    st = dsim.init_state(data.species, data.masses_by_type[data.species],
+                         data.positions, box,
+                         vel=np.zeros_like(data.positions))
+    return dsim, st
+
+
+@pytest.mark.parametrize("mesh_shape", MESHES)
+def test_sharded_forces_match_single_device(mesh_shape):
+    data = _water_system()
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    sim, st = _single_device_reference(data, pot, dt=0.2, n_steps=0)
+    f_ref = sim.forces_input_order(st)
+    pe_ref = float(st.pe)
+
+    dsim, dst = _domain_sim(data, pot, mesh_shape, dt=0.2)
+    # one zero-length chunk isn't a thing; run 1 step and compare the
+    # *initial* force instead via a 1-step run on both engines
+    dst2, _ = dsim.run(dst, 1)
+    st2, _ = sim.run(st, 1)
+    f_d = dsim.gather(dst2, "force")
+    f_s = sim.forces_input_order(st2)
+    np.testing.assert_allclose(f_d, f_s, atol=1e-10)
+    np.testing.assert_allclose(float(dst2.pe), float(st2.pe), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dst2.virial),
+                               np.asarray(st2.virial), atol=1e-9)
+    # sanity: same system (pe moves O(100 kcal/mol) in one steep-PES step)
+    assert abs(pe_ref - float(st2.pe)) / abs(pe_ref) < 1e-3
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 1, 1), (2, 2, 2)])
+def test_sharded_md_trajectory_parity(mesh_shape):
+    """6 NVE steps (3 rebuild intervals, includes migration passes) must
+    match the single-device trajectory."""
+    data = _water_system()
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    sim, st = _single_device_reference(data, pot, dt=0.2, n_steps=6)
+    dsim, dst = _domain_sim(data, pot, mesh_shape, dt=0.2)
+    dst, _ = dsim.run(dst, 6)
+
+    pos_s = sim.positions_input_order(st)
+    pos_d = dsim.gather(dst, "pos")
+    # wrap both into the primary cell before comparing (engines may differ
+    # in when they wrap)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                  origin=jnp.asarray(data.box_origin, jnp.float64))
+    from lammps_ani_tpu.ops.neighbors import wrap_positions
+    w = lambda p: np.asarray(wrap_positions(jnp.asarray(p), box))
+    d = np.abs(w(pos_s) - w(pos_d))
+    L = np.diag(data.box_h)
+    d = np.minimum(d, L - d)  # wrap-boundary tolerance
+    assert d.max() < 1e-9, d.max()
+    np.testing.assert_allclose(dsim.gather(dst, "vel"),
+                               sim.velocities_input_order(st), atol=1e-10)
+
+
+def test_sharded_nose_hoover_runs():
+    data = _water_system()
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    nh = integrate.NoseHoover(temp=300.0, tdamp=50.0)
+    sim, st = _single_device_reference(data, pot, dt=0.2, n_steps=4,
+                                       integrator=nh)
+    dsim, dst = _domain_sim(data, pot, (2, 2, 1), dt=0.2, integrator=nh)
+    dst, rows = dsim.run(dst, 4, thermo_every=2)
+    np.testing.assert_allclose(dsim.gather(dst, "pos"),
+                               sim.positions_input_order(st), atol=1e-9)
+    assert np.isfinite(rows[-1]["temp"])
+
+
+def test_migration_preserves_atoms():
+    """Run enough steps that atoms cross brick boundaries; the gathered
+    gid set must remain a permutation of the original atoms."""
+    data = _water_system()
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    dsim, dst = _domain_sim(data, pot, (2, 2, 2), dt=0.2,
+                            integrator=integrate.Langevin(temp=400.0,
+                                                          damp=50.0))
+    dst, _ = dsim.run(dst, 10)
+    gid = np.asarray(dst.gid)
+    got = np.sort(gid[gid >= 0])
+    assert np.array_equal(got, np.arange(data.n_atoms)), (
+        len(got), data.n_atoms)
