@@ -77,6 +77,7 @@ class Simulation:
         integrator: Integrator = None,  # None = NVE
         dtype=jnp.float32,
         sort_species: bool = True,
+        auto_angular_caps: bool = True,  # specialize AEV to the composition
         extra_force: Optional[Callable] = None,  # (pos, box, step) -> [n,3]
     ):
         n = len(species)
@@ -105,6 +106,9 @@ class Simulation:
         self.n_atoms = n
         self._shifts = nbops.image_shifts(nbr.n_shell)
         self._grid = None  # CellGrid, host-computed in init_state
+        self._k_max = nbr.k_max  # auto-tightened by _derive_angular_caps
+        self._auto_angular_caps = (
+            auto_angular_caps and potential.spec.angular_caps is None)
         self._chunk_cache = {}
 
     # ---------- setup ----------
@@ -136,10 +140,18 @@ class Simulation:
         else:
             vel = jnp.zeros_like(pos)
 
-        pos_w = nbops.wrap_positions(pos, box)
-        nlist = self._build_nlist(pos_w, box)
-        pe, force, virial = self._forces(pos_w, box, nlist,
-                                         jnp.zeros((), jnp.int32))
+        if self._auto_angular_caps:
+            self._derive_angular_caps(pos, box)
+
+        @jax.jit
+        def _init_compute(pos, box):
+            pos_w = nbops.wrap_positions(pos, box)
+            nlist = self._build_nlist(pos_w, box)
+            pe, force, virial = self._forces(pos_w, box, nlist,
+                                             jnp.zeros((), jnp.int32))
+            return pos_w, nlist, pe, force, virial
+
+        pos_w, nlist, pe, force, virial = _init_compute(pos, box)
         ts = self.integrator.init(self.dtype) \
             if isinstance(self.integrator, integrate.NoseHoover) else None
         return MDState(
@@ -151,16 +163,73 @@ class Simulation:
 
     # ---------- internals (traced) ----------
 
+    def _derive_angular_caps(self, pos, box):
+        """Specialize the potential's AEV to this system's composition:
+        measure per-species angular-neighbor degrees once, set static caps
+        with 50% + skin headroom (species absent from the system get cap 0,
+        removing their species-pair blocks from the compiled program
+        entirely). Rebuild-time growth is caught by angular_cap_deficit in
+        the chunk's overflow channel."""
+        import dataclasses as _dc
+        from ..models import aev as aevmod
+
+        spec = self.potential.spec
+
+        @jax.jit
+        def measure(pos, box):
+            pos_w = nbops.wrap_positions(pos, box)
+            nlist = self._build_nlist(pos_w, box)
+            species_ext = nbops.extended_species(self.species, nlist.ghosts)
+            _, dist = nbops.neighbor_displacements(pos_w, box, nlist)
+            species_j = species_ext[nlist.idx]
+            mask = nlist.mask & (species_j >= 0)
+            in_ang = mask & (dist < spec.aev.angular_cutoff)
+            return jnp.stack([
+                jnp.max(jnp.sum(in_ang & (species_j == s), axis=1))
+                for s in range(spec.aev.num_species)
+            ]), nlist.max_count
+
+        degrees, max_deg = jax.device_get(measure(pos, box))
+        degrees = np.asarray(degrees)
+        # tight neighbor capacity too (radial/displacement work is linear in
+        # k_max); growth handled by the same overflow-recovery path
+        self._k_max = int(-(-int(max_deg * 1.1 + 4) // 8) * 8)
+        # Tight caps: the angular pair count scales with cap^2, so margin is
+        # expensive; runtime growth is caught by the overflow channel and
+        # run() re-derives caps and recompiles (the reference grows buffers
+        # 1.5x on overflow instead, pair_ani.cpp:119-127).
+        caps = tuple(
+            0 if d == 0 else int(-(-int(d + 2) // 4) * 4) for d in degrees
+        )
+        self.potential = potmod.ANIPotential(
+            spec=_dc.replace(spec, angular_caps=caps),
+            params=self.potential.params)
+        self._chunk_cache = {}
+
+    def _angular_overflow(self, pos, box, nlist):
+        """[] bool: any per-species angular degree exceeds the static caps."""
+        from ..models import aev as aevmod
+
+        caps = self.potential.spec.angular_caps
+        if caps is None:
+            return jnp.zeros((), bool)
+        species_ext = nbops.extended_species(self.species, nlist.ghosts)
+        _, dist = nbops.neighbor_displacements(pos, box, nlist)
+        species_j = species_ext[nlist.idx]
+        mask = nlist.mask & (species_j >= 0)
+        return aevmod.angular_cap_deficit(
+            self.potential.spec.aev, dist, species_j, mask, caps) > 0
+
     def _build_nlist(self, pos, box):
         ghosts = nbops.build_ghosts(
             pos, box, self.nbr.rlist, self.nbr.ghost_capacity, self._shifts)
         if self.nbr.use_cell_list and self._grid is not None:
             from ..ops import cell_list as clmod
             return clmod.build_neighbor_matrix_cells(
-                pos, box, self.nbr.rlist, self.nbr.k_max, ghosts,
+                pos, box, self.nbr.rlist, self._k_max, ghosts,
                 grid=self._grid)
         return nbops.build_neighbor_matrix_brute(
-            pos, box, self.nbr.rlist, self.nbr.k_max, ghosts)
+            pos, box, self.nbr.rlist, self._k_max, ghosts)
 
     def _forces(self, pos, box, nlist, step):
         pe_h, f_h, w_h = potmod.energy_forces_virial(
@@ -223,7 +292,9 @@ class Simulation:
         # max displacement since rebuild, for skin-violation detection
         disp = jnp.max(jnp.linalg.norm(state.pos - state.pos_at_rebuild,
                                        axis=-1))
-        return state, traj, disp, state.nlist.overflowed
+        overflowed = state.nlist.overflowed | self._angular_overflow(
+            pos_w, state.box, nlist)
+        return state, traj, disp, overflowed
 
     def _jitted_chunk(self, n_steps: int):
         if n_steps not in self._chunk_cache:
@@ -245,14 +316,35 @@ class Simulation:
         chunk = self.nbr.rebuild_every
         done = 0
         fn = None
+        recap_attempts = 0
         while done < n_steps:
             take = min(chunk, n_steps - done)
             fn = self._jitted_chunk(take)
             new_state, traj, disp, overflowed = fn(state)
             if bool(overflowed):
+                if bool(state.nlist.overflowed):
+                    if self._auto_angular_caps and int(
+                            state.nlist.ghosts.count) <=                             state.nlist.ghosts.src.shape[0]:
+                        # neighbor degree outgrew the derived k_max: grow it
+                        recap_attempts += 1
+                        if recap_attempts > 8:
+                            raise RuntimeError("k_max keeps overflowing")
+                        self._derive_angular_caps(state.pos, state.box)
+                        continue
+                    raise RuntimeError(
+                        "neighbor/ghost capacity overflow: increase "
+                        "NeighborConfig.k_max / ghost_capacity")
+                # angular caps outgrown: re-derive from current geometry and
+                # recompile (rare; equivalent of the reference's buffer
+                # regrow on neighbor-list rebuild)
+                recap_attempts += 1
+                if recap_attempts > 8:
+                    raise RuntimeError("angular caps keep overflowing")
+                if self._auto_angular_caps:
+                    self._derive_angular_caps(state.pos, state.box)
+                    continue
                 raise RuntimeError(
-                    "neighbor/ghost capacity overflow: increase "
-                    "NeighborConfig.k_max / ghost_capacity")
+                    "angular_caps overflow: raise ANISpec.angular_caps")
             if float(disp) > self.nbr.skin / 2:
                 raise RuntimeError(
                     f"atoms moved {float(disp):.3f} A > skin/2 between "

@@ -162,51 +162,200 @@ def angular_terms(
     r13: jax.Array,  # [..., ] distance i-k
     cos_theta: jax.Array,  # [..., ] cos of angle j-i-k
 ) -> jax.Array:
-    """[..., n_angular_sub] angular basis values."""
+    """[..., n_angular_sub] angular basis values.
+
+    Uses cos(theta - shf) = cos(theta) cos(shf) + sin(theta) sin(shf) with
+    theta = arccos(0.95 cos_theta), i.e. cos(theta) = 0.95 cos_theta and
+    sin(theta) = sqrt(1 - (0.95 cos_theta)^2) — mathematically identical to
+    the arccos/cos formulation (torchani semantics) but transcendental-free
+    on the hot path, and gradient-safe everywhere because |0.95 c| <= 0.95
+    keeps sqrt away from its singular point (the purpose of torchani's 0.95
+    factor)."""
+    f1 = _angular_factor1(spec, cos_theta)  # [..., Z*Zs]
+    f2 = _angular_factor2(spec, r12, r13)  # [..., E*A]
+    ne, nz = len(spec.eta_a), len(spec.zeta)
+    na, ns = len(spec.shf_a), len(spec.shf_z)
+    out = jnp.einsum("...x,...y->...xy", f2, f1)
+    # layout (eta, shf_a) x (zeta, shf_z) -> torchani (eta, zeta, shf_a, shf_z)
+    out = out.reshape(*r12.shape, ne, na, nz, ns)
+    out = jnp.swapaxes(out, -3, -2)
+    return 2.0 * out.reshape(*r12.shape, spec.angular_sublength)
+
+
+def _angular_factor1(spec: AEVSpec, cos_theta: jax.Array) -> jax.Array:
+    """[..., n_zeta * n_shf_z]: ((1 + cos(theta - shf_z))/2)^zeta."""
+    dtype = cos_theta.dtype
+    zeta = jnp.asarray(spec.zeta, dtype).reshape(-1, 1)
+    cz = jnp.asarray(np.cos(spec.shf_z), dtype).reshape(1, -1)
+    sz = jnp.asarray(np.sin(spec.shf_z), dtype).reshape(1, -1)
+    c = 0.95 * jnp.clip(cos_theta, -1.0, 1.0)
+    s = jnp.sqrt(1.0 - c * c)  # safe: |c| <= 0.95
+    base = 0.5 * (1.0 + c[..., None, None] * cz + s[..., None, None] * sz)
+    out = base ** zeta
+    return out.reshape(*cos_theta.shape, len(spec.zeta) * len(spec.shf_z))
+
+
+def _angular_factor2(spec: AEVSpec, r12: jax.Array, r13: jax.Array) -> jax.Array:
+    """[..., n_eta_a * n_shf_a]: exp(-eta ((r12+r13)/2 - shf_a)^2) fc fc."""
     dtype = r12.dtype
-    eta_a = jnp.asarray(spec.eta_a, dtype).reshape(-1, 1, 1, 1)
-    zeta = jnp.asarray(spec.zeta, dtype).reshape(1, -1, 1, 1)
-    shf_a = jnp.asarray(spec.shf_a, dtype).reshape(1, 1, -1, 1)
-    shf_z = jnp.asarray(spec.shf_z, dtype).reshape(1, 1, 1, -1)
-
-    theta = jnp.arccos(0.95 * cos_theta)[..., None, None, None, None]
-    rmean = (0.5 * (r12 + r13))[..., None, None, None, None]
-    fc = (
-        cutoff_cosine(r12, spec.angular_cutoff)
-        * cutoff_cosine(r13, spec.angular_cutoff)
-    )[..., None, None, None, None]
-
-    factor1 = ((1.0 + jnp.cos(theta - shf_z)) * 0.5) ** zeta
-    factor2 = jnp.exp(-eta_a * (rmean - shf_a) ** 2)
-    out = 2.0 * factor1 * factor2 * fc
-    return out.reshape(*r12.shape, spec.angular_sublength)
+    eta_a = jnp.asarray(spec.eta_a, dtype).reshape(-1, 1)
+    shf_a = jnp.asarray(spec.shf_a, dtype).reshape(1, -1)
+    rmean = 0.5 * (r12 + r13)
+    fc = cutoff_cosine(r12, spec.angular_cutoff) * cutoff_cosine(
+        r13, spec.angular_cutoff
+    )
+    out = jnp.exp(-eta_a * (rmean[..., None, None] - shf_a) ** 2)
+    out = out * fc[..., None, None]
+    return out.reshape(*r12.shape, len(spec.eta_a) * len(spec.shf_a))
 
 
-def _compact_angular_neighbors(
-    diff: jax.Array,  # [n, k, 3]
-    dist: jax.Array,  # [n, k]
-    species_j: jax.Array,  # [n, k]
-    valid: jax.Array,  # [n, k] bool
-    cutoff: float,
+def _triangle_indices(k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Static (row, col) indices of the strict upper triangle of [k, k]."""
+    iu = np.triu_indices(k, 1)
+    return iu[0].astype(np.int32), iu[1].astype(np.int32)
+
+
+def _compact_onehot(
+    mask: jax.Array,  # [n, k] bool — which slots to keep
     capacity: int,
+    dist: jax.Array,  # [n, k]
+    diff: jax.Array,  # [n, k, 3]
+    species_j: jax.Array | None = None,  # [n, k] int32
 ):
-    """Select (up to `capacity`) neighbors within the angular cutoff.
+    """Left-compact masked slots into `capacity` columns — sort-free.
 
-    Fixed-shape compaction: stable-sorts each row so in-cutoff entries come
-    first, then truncates. Extra in-cutoff neighbors beyond `capacity` are
-    silently dropped (callers size `capacity` with margin; see
-    NeighborList overflow accounting in ops/neighbors.py).
+    TPU sorts along the 128-lane minor axis are catastrophically slow
+    (~130 ms for [100k, 128] rows); instead rank each kept slot with a
+    cumsum and move it with a one-hot matmul, which XLA lowers to MXU
+    work + cheap VPU reductions. Entries beyond `capacity` are dropped
+    (callers size with margin, as the reference sizes its buffers
+    /root/reference/src/pair_ani.cpp:119-127).
     """
-    mask = valid & (dist < cutoff)
-    # Sort key: invalid/out-of-cutoff entries pushed to the end.
-    order = jnp.argsort(jnp.where(mask, 0, 1), axis=1, stable=True)
-    order = order[:, :capacity]
-    take = lambda x: jnp.take_along_axis(x, order, axis=1)
-    mask_a = take(mask)
-    diff_a = jnp.take_along_axis(diff, order[..., None], axis=1)
-    dist_a = take(dist)
-    species_a = take(species_j)
-    return diff_a, dist_a, species_a, mask_a
+    dtype = dist.dtype
+    rank = jnp.cumsum(mask.astype(jnp.int32), axis=1) - 1  # [n, k]
+    slot = jax.nn.one_hot(
+        jnp.where(mask, rank, capacity), capacity, dtype=dtype
+    )  # [n, k, c]; rank >= capacity or invalid -> all-zero row
+    dist_c = jnp.einsum("nkc,nk->nc", slot, dist, preferred_element_type=dtype)
+    diff_c = jnp.einsum(
+        "nkc,nkd->ncd", slot, diff, preferred_element_type=dtype
+    )
+    mask_c = jnp.einsum(
+        "nkc,nk->nc", slot, mask.astype(dtype), preferred_element_type=dtype
+    ) > 0.5
+    out = (diff_c, dist_c, mask_c)
+    if species_j is not None:
+        sp_c = jnp.einsum(
+            "nkc,nk->nc", slot, species_j.astype(dtype),
+            preferred_element_type=dtype,
+        )
+        out = out + (jnp.round(sp_c).astype(jnp.int32),)
+    return out
+
+
+def _safe_units(diff_c, dist_c, mask_c, big):
+    """(unit vectors, safe distances) for compacted slots; invalid slots get
+    zero unit vectors and a huge distance (fc -> 0)."""
+    safe = jnp.where(mask_c, dist_c, 1.0)
+    unit = diff_c / safe[..., None]
+    unit = jnp.where(mask_c[..., None], unit, 0.0)
+    return unit, jnp.where(mask_c, dist_c, big)
+
+
+def _angular_generic(spec: AEVSpec, args):
+    """[c, angular_length] via species-pair one-hot channels (triangle q).
+
+    The shape-agnostic correctness path (any species mix, one code path);
+    the composition-specialized `_angular_blocked` below is the fast path.
+    """
+    diff_c, dist_c, mask_c, spec_c = args
+    dtype = dist_c.dtype
+    c, ka = dist_c.shape
+    big = jnp.asarray(2.0 * spec.angular_cutoff + 10.0, dtype)
+    unit, safe = _safe_units(diff_c, dist_c, mask_c, big)
+    tri_k, tri_l = _triangle_indices(ka)
+    u_k, u_l = unit[:, tri_k], unit[:, tri_l]  # [c, q, 3]
+    cos_kl = jnp.sum(u_k * u_l, axis=-1)
+    aterms = angular_terms(spec, safe[:, tri_k], safe[:, tri_l], cos_kl)
+    triu = jnp.asarray(spec.triu_index())
+    pair_idx = triu[spec_c[:, tri_k], spec_c[:, tri_l]]  # [c, q]
+    onehot_p = jax.nn.one_hot(pair_idx, spec.num_pairs, dtype=dtype)
+    out = jnp.einsum(
+        "cqp,cqa->cpa", onehot_p, aterms, preferred_element_type=dtype
+    )
+    return out.reshape(c, spec.angular_length)
+
+
+def _angular_blocked(spec: AEVSpec, caps: tuple[int, ...], per_species):
+    """[c, angular_length] via static per-species neighbor blocks.
+
+    Species parallelism applied to the AEV (SURVEY.md §2.3): neighbors are
+    pre-compacted per species with *static* capacities (`caps`), so each
+    unordered species-pair channel is a plain sum over its block — no
+    [*, q, 28] one-hot matmul, no work at all for absent species. The
+    channel reduction fuses into one [q]-contraction matmul per block:
+      out[c, X, Y] = sum_q f2[c, q, X] * f1[c, q, Y].
+
+    per_species: dict species -> (diff_c, dist_c, mask_c).
+    """
+    dtype = next(iter(per_species.values()))[1].dtype
+    c = next(iter(per_species.values()))[1].shape[0]
+    big = jnp.asarray(2.0 * spec.angular_cutoff + 10.0, dtype)
+    ne, nz = len(spec.eta_a), len(spec.zeta)
+    na, ns = len(spec.shf_a), len(spec.shf_z)
+    nxy = spec.angular_sublength
+
+    units = {}
+    safes = {}
+    for s, (diff_c, dist_c, mask_c) in per_species.items():
+        units[s], safes[s] = _safe_units(diff_c, dist_c, mask_c, big)
+
+    blocks = []
+    for a in range(spec.num_species):
+        for b in range(a, spec.num_species):
+            if a not in per_species or b not in per_species:
+                blocks.append(jnp.zeros((c, nxy), dtype))
+                continue
+            if a == b:
+                tri_k, tri_l = _triangle_indices(caps[a])
+                u_k, u_l = units[a][:, tri_k], units[a][:, tri_l]
+                r_k, r_l = safes[a][:, tri_k], safes[a][:, tri_l]
+            else:
+                ca, cb = caps[a], caps[b]
+                u_k = jnp.repeat(units[a], cb, axis=1)
+                u_l = jnp.tile(units[b], (1, ca, 1))
+                r_k = jnp.repeat(safes[a], cb, axis=1)
+                r_l = jnp.tile(safes[b], (1, ca))
+            cos_kl = jnp.sum(u_k * u_l, axis=-1)
+            f1 = _angular_factor1(spec, cos_kl)  # [c, q, Z*S]
+            f2 = _angular_factor2(spec, r_k, r_l)  # [c, q, E*A]
+            blk = jnp.einsum(
+                "cqx,cqy->cxy", f2, f1, preferred_element_type=dtype
+            )  # sum over the block's pairs
+            # layout (E, A) x (Z, S) -> torchani (E, Z, A, S)
+            blk = blk.reshape(c, ne, na, nz, ns)
+            blk = jnp.swapaxes(blk, 2, 3)
+            blocks.append(2.0 * blk.reshape(c, nxy))
+    return jnp.concatenate(blocks, axis=1)
+
+
+def angular_cap_deficit(
+    spec: AEVSpec,
+    dist: jax.Array,
+    species_j: jax.Array,
+    nbr_mask: jax.Array,
+    caps: tuple[int, ...],
+) -> jax.Array:
+    """[] int32: max (per-atom per-species angular degree) - cap, over all
+    atoms and species. > 0 means `caps` silently truncates neighbors —
+    callers treat it like a neighbor-capacity overflow and rebuild with
+    bigger caps."""
+    in_ang = nbr_mask & (dist < spec.angular_cutoff)
+    worst = jnp.asarray(-(2 ** 30), jnp.int32)
+    for s, cap in enumerate(caps):
+        count = jnp.sum(in_ang & (species_j == s), axis=1, dtype=jnp.int32)
+        worst = jnp.maximum(worst, jnp.max(count) - cap)
+    return worst
 
 
 def compute_aev(
@@ -218,6 +367,7 @@ def compute_aev(
     nbr_mask: jax.Array,  # [n, k] bool
     *,
     angular_capacity: int = 32,
+    angular_caps: tuple[int, ...] | None = None,
     atom_chunk: int | None = None,
 ) -> jax.Array:
     """AEV over a padded full neighbor matrix. Returns [n, aev_length].
@@ -227,9 +377,13 @@ def compute_aev(
     only on |diff| and angles, so either sign convention yields identical
     AEVs; forces flow through whatever was passed.
 
-    For memory efficiency the angular contraction is chunked over atoms with
-    lax.map when `atom_chunk` is set (peak intermediate is
-    chunk * capacity^2 * angular_sublength floats).
+    `angular_caps`: optional static per-species angular-neighbor capacities
+    enabling the species-blocked fast path (zero work for absent species,
+    no channel one-hot). Entries may be 0 for absent species; overflow is
+    checkable with `angular_cap_deficit`.
+
+    The angular contraction is chunked over atoms with lax.map when
+    `atom_chunk` is set, and rematerialized (jax.checkpoint) under autodiff.
     """
     n, k = dist.shape
     dtype = dist.dtype
@@ -249,52 +403,44 @@ def compute_aev(
     ).reshape(n, spec.radial_length)
 
     # ---- angular block ----
-    diff_a, dist_a, species_a, mask_a = _compact_angular_neighbors(
-        diff, dist, species_j, nbr_mask, spec.angular_cutoff, angular_capacity
-    )
-    triu = jnp.asarray(spec.triu_index())  # [S, S]
-
-    def angular_block(args):
-        diff_c, dist_c, spec_c, mask_c = args  # [c, ka, ...]
-        c, ka = dist_c.shape
-        safe_dist = jnp.where(mask_c, dist_c, 1.0)
-        unit = diff_c / safe_dist[..., None]
-        cosjk = jnp.einsum("nkd,nld->nkl", unit, unit, preferred_element_type=dtype)
-        cosjk = jnp.clip(cosjk, -1.0, 1.0)
-        pair_mask = (
-            mask_c[:, :, None]
-            & mask_c[:, None, :]
-            & (jnp.arange(ka)[:, None] < jnp.arange(ka)[None, :])
-        )
-        aterms = angular_terms(
-            spec,
-            jnp.broadcast_to(dist_c[:, :, None], (c, ka, ka)),
-            jnp.broadcast_to(dist_c[:, None, :], (c, ka, ka)),
-            cosjk,
-        )  # [c, ka, ka, A]
-        aterms = aterms * pair_mask[..., None]
-        pair_idx = triu[spec_c[:, :, None], spec_c[:, None, :]]  # [c, ka, ka]
-        onehot_p = jax.nn.one_hot(pair_idx, spec.num_pairs, dtype=dtype)
-        onehot_p = onehot_p * pair_mask[..., None]
-        q = ka * ka
-        out = jnp.einsum(
-            "nqp,nqa->npa",
-            onehot_p.reshape(c, q, spec.num_pairs),
-            aterms.reshape(c, q, spec.angular_sublength),
-            preferred_element_type=dtype,
-        )
-        return out.reshape(c, spec.angular_length)
-
-    args = (diff_a, dist_a, species_a, mask_a)
-    if atom_chunk is not None and n > atom_chunk and n % atom_chunk == 0:
-        args = jax.tree.map(
-            lambda x: x.reshape(n // atom_chunk, atom_chunk, *x.shape[1:]), args
-        )
-        angular_aev = jax.lax.map(angular_block, args).reshape(
-            n, spec.angular_length
-        )
+    ang_mask = nbr_mask & (dist < spec.angular_cutoff)
+    if angular_caps is not None:
+        per_species = {}
+        for s, cap in enumerate(angular_caps):
+            if cap == 0:
+                continue
+            diff_c, dist_c, mask_c = _compact_onehot(
+                ang_mask & (species_j == s), cap, dist, diff
+            )
+            per_species[s] = (diff_c, dist_c, mask_c)
+        args = (per_species,)
+        block_fn = functools.partial(_angular_blocked, spec, angular_caps)
     else:
-        angular_aev = angular_block(args)
+        diff_c, dist_c, mask_c, species_c = _compact_onehot(
+            ang_mask, angular_capacity, dist, diff, species_j
+        )
+        args = ((diff_c, dist_c, mask_c, species_c),)
+        block_fn = functools.partial(_angular_generic, spec)
+
+    # Rematerialize the angular contraction in the backward pass: its
+    # per-pair intermediates are the dominant memory term and are cheap to
+    # recompute relative to holding them in HBM across the force autodiff.
+    block_fn = jax.checkpoint(block_fn)
+    if atom_chunk is not None and n > atom_chunk:
+        pad = (-n) % atom_chunk  # pad rows are fully masked -> zero AEV
+        if pad:
+            args = jax.tree.map(
+                lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)),
+                args,
+            )
+        args = jax.tree.map(
+            lambda x: x.reshape(-1, atom_chunk, *x.shape[1:]), args
+        )
+        angular_aev = jax.lax.map(lambda a: block_fn(a[0]), args).reshape(
+            n + pad, spec.angular_length
+        )[:n]
+    else:
+        angular_aev = block_fn(args[0])
 
     aev = jnp.concatenate([radial_aev, angular_aev], axis=1)
     # Padding center rows (species -1) get zero AEV.

@@ -42,6 +42,10 @@ class ANISpec:
     repulsion: Optional[repmod.RepulsionSpec] = None
     symbols: tuple[str, ...] = ("H", "C", "N", "O", "S", "F", "Cl")
     angular_capacity: int = 32
+    # Static per-species angular-neighbor capacities: enables the
+    # species-blocked fast AEV path (models/aev._angular_blocked). None ->
+    # generic species-pair one-hot path.
+    angular_caps: Optional[tuple[int, ...]] = None
     atom_chunk: Optional[int] = None  # chunk AEV angular block over atoms
 
     @property
@@ -103,16 +107,21 @@ def atomic_energies_ext(
     species_j = species_ext[idx]
     nbr_mask = mask & (species_j >= 0)
 
-    aev = aevmod.compute_aev(
-        spec.aev,
-        species,
-        diff,
-        dist,
-        species_j,
-        nbr_mask,
-        angular_capacity=spec.angular_capacity,
-        atom_chunk=spec.atom_chunk,
-    )
+    # checkpoint: recompute the AEV in the force backward pass instead of
+    # holding its radial/angular residuals ([n, k, n_basis] scale) in HBM.
+    aev = jax.checkpoint(
+        lambda d, dst: aevmod.compute_aev(
+            spec.aev,
+            species,
+            d,
+            dst,
+            species_j,
+            nbr_mask,
+            angular_capacity=spec.angular_capacity,
+            angular_caps=spec.angular_caps,
+            atom_chunk=spec.atom_chunk,
+        )
+    )(diff, dist)
 
     if species_counts is not None:
         atomic = netmod.atomic_energies_sorted(

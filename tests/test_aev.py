@@ -124,3 +124,54 @@ def test_padding_rows_zero_aev():
         spec, fixtures.WATER30_SPECIES, fixtures.WATER30_POS,
         box_h=fixtures.WATER30_BOX, n_shell=1)
     np.testing.assert_allclose(got[:30], ref, atol=1e-10, rtol=1e-9)
+
+
+def test_aev_blocked_species_path_matches_generic():
+    """The species-blocked fast path (static per-species caps) must equal
+    the generic one-hot path exactly."""
+    spec = aevmod.ani2x_aev_spec()
+    sp, p, box, nlist = _build(
+        fixtures.WATER30_SPECIES, fixtures.WATER30_POS,
+        fixtures.WATER30_BOX, fixtures.WATER30_ORIGIN,
+        spec.radial_cutoff, periodic=True, dtype=jnp.float64,
+    )
+    generic = np.asarray(_aev_from_nlist(spec, sp, p, box, nlist))
+    caps = (24, 0, 0, 12, 0, 0, 0)  # H and O only
+    blocked = np.asarray(_aev_from_nlist(spec, sp, p, box, nlist,
+                                         angular_caps=caps))
+    np.testing.assert_allclose(blocked, generic, atol=1e-12)
+    # chunked + blocked
+    blocked_c = np.asarray(_aev_from_nlist(
+        spec, sp, p, box, nlist, angular_caps=caps, atom_chunk=8))
+    np.testing.assert_allclose(blocked_c, generic, atol=1e-12)
+
+
+def test_aev_blocked_multispecies_cluster():
+    spec = aevmod.ani2x_aev_spec()
+    species, pos = fixtures.random_cluster(n_atoms=20, num_species=7, seed=3)
+    sp, p, box, nlist = _build(species, pos, None, None, spec.radial_cutoff,
+                               periodic=False, dtype=jnp.float64)
+    generic = np.asarray(_aev_from_nlist(spec, sp, p, box, nlist))
+    caps = tuple([20] * 7)
+    blocked = np.asarray(_aev_from_nlist(spec, sp, p, box, nlist,
+                                         angular_caps=caps))
+    np.testing.assert_allclose(blocked, generic, atol=1e-12)
+
+
+def test_angular_cap_deficit():
+    spec = aevmod.ani2x_aev_spec()
+    sp, p, box, nlist = _build(
+        fixtures.WATER30_SPECIES, fixtures.WATER30_POS,
+        fixtures.WATER30_BOX, fixtures.WATER30_ORIGIN,
+        spec.radial_cutoff, periodic=True, dtype=jnp.float64,
+    )
+    species_ext = nbops.extended_species(sp, nlist.ghosts)
+    diff, dist = nbops.neighbor_displacements(p, box, nlist)
+    species_j = species_ext[nlist.idx]
+    mask = nlist.mask & (species_j >= 0)
+    ok_caps = (24, 0, 0, 12, 0, 0, 0)
+    assert int(aevmod.angular_cap_deficit(spec, dist, species_j, mask,
+                                          ok_caps)) <= 0
+    tight = (2, 0, 0, 1, 0, 0, 0)
+    assert int(aevmod.angular_cap_deficit(spec, dist, species_j, mask,
+                                          tight)) > 0
