@@ -31,7 +31,7 @@ def main():
 
     n_rep = int(os.environ.get("BENCH_REP", "15"))  # 15^3 * 30 = 101,250
     dt = 0.5
-    steps_per_chunk = 10
+    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "20"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "5"))
 
     data = ldio.replicate(

@@ -51,6 +51,9 @@ class MDState:
     pos_at_rebuild: jax.Array  # [n, 3] for skin-based rebuild checks
     thermostat: Optional[ThermostatState] = None
     barostat: Optional[BarostatState] = None
+    # owner/shift/mirror neighbor form for the scatter-free force path
+    # (ops/nbr_grad.MirrorNeighbors); rebuilt with nlist
+    nbrs: Optional[object] = None
 
     def replace(self, **kw) -> "MDState":
         return dataclasses.replace(self, **kw)

@@ -96,7 +96,6 @@ def atomic_energies_ext(
     the caller's construction of `pos_ext` determines where ghost forces
     flow (owner atoms or remote shards via ppermute transpose).
     """
-    spec = pot.spec
     if local_mask is None:
         local_mask = species >= 0
 
@@ -106,7 +105,43 @@ def atomic_energies_ext(
     dist = jnp.where(mask, dist, 1e6)
     species_j = species_ext[idx]
     nbr_mask = mask & (species_j >= 0)
+    ghost_j = idx >= pos.shape[0]
+    return _energies_from_neighbors(
+        pot, species, diff, dist, species_j, nbr_mask, ghost_j,
+        species_counts, local_mask)
 
+
+def atomic_energies_mirror(
+    pot: ANIPotential,
+    species: jax.Array,  # [n]
+    pos: jax.Array,  # [n, 3]
+    box: nbops.Box,
+    nbrs,  # MirrorNeighbors (ops/nbr_grad semantics)
+    species_counts: Optional[Sequence[int]] = None,
+    local_mask: jax.Array | None = None,
+) -> jax.Array:
+    """[n] per-atom energies via the scatter-free mirror neighbor path
+    (ops/nbr_grad.py) — the single-device production path."""
+    from ..ops import nbr_grad
+
+    if local_mask is None:
+        local_mask = species >= 0
+    diff, dist = nbr_grad.neighbor_displacements_mirror(
+        pos, box, nbrs.src, nbrs.shift, nbrs.mirror, nbrs.mask)
+    species_j = jnp.where(nbrs.mask, species[nbrs.src], -1)
+    nbr_mask = nbrs.mask & (species_j >= 0)
+    ghost_j = jnp.any(nbrs.shift != 0, axis=-1)
+    return _energies_from_neighbors(
+        pot, species, diff, dist, species_j, nbr_mask, ghost_j,
+        species_counts, local_mask)
+
+
+def _energies_from_neighbors(
+    pot, species, diff, dist, species_j, nbr_mask, ghost_j,
+    species_counts, local_mask,
+):
+    """Common tail: (diff, dist, species_j) -> per-atom energies [Hartree]."""
+    spec = pot.spec
     # checkpoint: recompute the AEV in the force backward pass instead of
     # holding its radial/angular residuals ([n, k, n_basis] scale) in HBM.
     aev = jax.checkpoint(
@@ -132,8 +167,6 @@ def atomic_energies_ext(
     e = netmod.ensemble_energies(atomic)  # [n]
     e = e + spec.shifter(species, dtype=e.dtype)
     if spec.repulsion is not None:
-        n = pos.shape[0]
-        ghost_j = idx >= n  # neighbors indexing into the ghost block
         e = e + repmod.repulsion_energies(
             spec.repulsion,
             species,
@@ -208,5 +241,25 @@ def energy_forces_virial(
 
     eps0 = jnp.zeros((3, 3), pos.dtype)
     e, (deps, dpos) = jax.value_and_grad(deformed_energy, argnums=(0, 1))(eps0, pos)
+    virial = -0.5 * (deps + deps.T)
+    return e, -dpos, virial
+
+
+def energy_forces_virial_mirror(
+    pot, species, pos, box, nbrs, species_counts=None, local_mask=None
+):
+    """(E, F, W) via the scatter-free mirror path. Virial flows through the
+    custom op's exact box cotangent (dE/dh = -sum shift^T g)."""
+
+    def deformed_energy(eps, pos_):
+        deform = jnp.eye(3, dtype=pos_.dtype) + eps
+        pos_d = pos_ @ deform
+        box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+        return jnp.sum(atomic_energies_mirror(
+            pot, species, pos_d, box_d, nbrs, species_counts, local_mask))
+
+    eps0 = jnp.zeros((3, 3), pos.dtype)
+    e, (deps, dpos) = jax.value_and_grad(
+        deformed_energy, argnums=(0, 1))(eps0, pos)
     virial = -0.5 * (deps + deps.T)
     return e, -dpos, virial

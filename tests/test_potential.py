@@ -159,3 +159,33 @@ def test_ghost_semantics_energy_invariant_under_box_shift():
     nlist2 = nbops.build_neighbor_matrix_brute(pos2, box, 5.1, 64, ghosts)
     e1 = potmod.potential_energy(pot, species, pos2, box, nlist2)
     np.testing.assert_allclose(float(e1), float(e0), rtol=1e-9)
+
+
+def test_mirror_path_matches_ext_path():
+    """The scatter-free mirror force path must reproduce the reference
+    (gather/scatter autodiff) path bit-for-bit in f64: energies, forces,
+    and virial."""
+    import jax
+    from lammps_ani_tpu.ops import nbr_grad
+
+    from lammps_ani_tpu.models import zoo
+    pot = zoo.ani1xnr(num_models=2, dtype=jnp.float64)  # incl. repulsion
+    species = jnp.asarray(np.where(fixtures.WATER30_SPECIES == 3, 3,
+                                   fixtures.WATER30_SPECIES))
+    pos = jnp.asarray(fixtures.WATER30_POS, jnp.float64)
+    box = nbops.Box(h=jnp.asarray(fixtures.WATER30_BOX, jnp.float64),
+                    origin=jnp.asarray(fixtures.WATER30_ORIGIN, jnp.float64))
+    pos = nbops.wrap_positions(pos, box)
+    ghosts = nbops.build_ghosts(pos, box, 7.2, 1024, nbops.image_shifts(1))
+    nlist = nbops.build_neighbor_matrix_brute(pos, box, 7.2, 128, ghosts)
+    assert not bool(nlist.overflowed)
+
+    e1, f1, w1 = potmod.energy_forces_virial(pot, species, pos, box, nlist)
+
+    nbrs = nbr_grad.mirror_neighbors(nlist, pos.shape[0])
+    assert bool(nbrs.ok)
+    e2, f2, w2 = potmod.energy_forces_virial_mirror(
+        pot, species, pos, box, nbrs)
+    np.testing.assert_allclose(float(e2), float(e1), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1), atol=1e-11)
+    np.testing.assert_allclose(np.asarray(w2), np.asarray(w1), atol=1e-9)
