@@ -168,6 +168,95 @@ class NoseHoover:
         return ThermostatState(eta=eta, eta_dot=eta_dot), vel * scale
 
 
+@dataclasses.dataclass(frozen=True)
+class BerendsenBarostat:
+    """LAMMPS `fix press/berendsen iso P P pdamp`: weak-coupling volume
+    rescale toward the target pressure. Simple and robust; not a strict
+    NPT ensemble (use NoseHooverNPT for that)."""
+
+    press: float  # atm
+    pdamp: float  # fs
+    bulk_modulus: float = 2.2e4  # atm, water-like default (LAMMPS `modulus`)
+
+    def scale_factor(self, p_now, dt):
+        """Isotropic box/position scale for one step."""
+        mu3 = 1.0 - dt / self.pdamp * (self.press - p_now) / self.bulk_modulus
+        # clamp like LAMMPS does to keep single-step rescale sane
+        mu3 = jnp.clip(mu3, 0.9, 1.1)
+        return mu3 ** (1.0 / 3.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class NoseHooverNPT:
+    """MTK-style isotropic NPT (LAMMPS `fix npt temp T T tdamp iso P P
+    pdamp`): Nose-Hoover chain thermostat on particles + Nose-Hoover
+    piston on ln V, with the MTK velocity correction.
+
+    Integration follows the Martyna-Tobias-Klein splitting in its common
+    simplified form: piston velocity `omega` [1/fs] advances by half-steps
+    driven by (P_int - P_target)·3V/W + MTK kinetic term; positions and the
+    cell scale by exp(dt·omega); particle velocities pick up the
+    exp(-dt·(1+3/dof)·omega) factor inside their half-kicks.
+    """
+
+    temp: float
+    tdamp: float  # fs
+    press: float  # atm
+    pdamp: float  # fs
+    chain: int = 3
+
+    @property
+    def thermostat(self) -> NoseHoover:
+        return NoseHoover(temp=self.temp, tdamp=self.tdamp, chain=self.chain)
+
+    def init(self, dtype=jnp.float32) -> BarostatState:
+        return BarostatState(
+            omega=jnp.zeros((), dtype),
+            omega_chain=ThermostatState(
+                eta=jnp.zeros((self.chain,), dtype),
+                eta_dot=jnp.zeros((self.chain,), dtype),
+            ),
+        )
+
+    def piston_mass(self, n_atoms: int) -> float:
+        """W in (g/mol)(A/fs)^2 energy-time^2 form: (dof+3) kT pdamp^2."""
+        return (3.0 * n_atoms + 3.0) * units.BOLTZ * self.temp * self.pdamp**2
+
+    def piston_half(self, bs: BarostatState, p_now, volume, ke, n_atoms, dt):
+        """Advance omega by dt/2. p_now in atm, volume in A^3, ke kcal/mol."""
+        w = self.piston_mass(n_atoms)
+        # pressure term converted to kcal/mol: (P - P0) V -> energy
+        g = (
+            3.0 * volume * (p_now - self.press) * units.ATM2ENGVOL
+            + (3.0 / n_atoms) * 2.0 * ke
+        ) / w
+        # piston thermostat (single NH on omega) for ergodicity
+        kt = units.BOLTZ * self.temp
+        q = kt * self.pdamp**2
+        eta, eta_dot = bs.omega_chain.eta, bs.omega_chain.eta_dot
+        g_eta = (w * bs.omega**2 - kt) / q
+        eta_dot = eta_dot.at[0].add(0.25 * dt * g_eta)
+        omega = bs.omega * jnp.exp(-0.5 * dt * eta_dot[0]) + 0.5 * dt * g
+        eta = eta.at[0].add(0.5 * dt * eta_dot[0])
+        return BarostatState(
+            omega=omega,
+            omega_chain=ThermostatState(eta=eta, eta_dot=eta_dot),
+        )
+
+    def vel_scale(self, omega, dof, n_atoms, dt):
+        """exp factor applied to velocities over dt/2 (MTK correction)."""
+        alpha = 1.0 + 3.0 / dof
+        return jnp.exp(-0.5 * dt * alpha * omega)
+
+    def box_scale(self, omega, dt):
+        return jnp.exp(dt * omega)
+
+
+def rescale_box(box: Box, scale) -> Box:
+    """Isotropic cell rescale about the box origin."""
+    return Box(h=box.h * scale, origin=box.origin)
+
+
 def recenter(pos, masses, target_com):
     """LAMMPS `fix recenter`: shift so the COM sits at `target_com`."""
     com = jnp.sum(masses[:, None] * pos, axis=0) / jnp.sum(masses)

@@ -79,12 +79,18 @@ class Simulation:
         dtype=jnp.float32,
         sort_species: bool = True,
         auto_angular_caps: bool = True,  # specialize AEV to the composition
+        barostat=None,  # integrate.BerendsenBarostat, composable with any
+                        # thermostat (LAMMPS fix press/berendsen style)
         extra_force: Optional[Callable] = None,  # (pos, box, step) -> [n,3]
     ):
         n = len(species)
         self.nbr = nbr
         self.dt = float(dt)
         self.integrator = integrator
+        self.barostat = barostat
+        if barostat is not None and isinstance(
+                integrator, integrate.NoseHooverNPT):
+            raise ValueError("NoseHooverNPT already includes a barostat")
         self.dtype = dtype
         self.extra_force = extra_force
 
@@ -158,13 +164,17 @@ class Simulation:
             return pos_w, nlist, nbrs, pe, force, virial
 
         pos_w, nlist, nbrs, pe, force, virial = _init_compute(pos, box)
-        ts = self.integrator.init(self.dtype) \
-            if isinstance(self.integrator, integrate.NoseHoover) else None
+        ts, bs = None, None
+        if isinstance(self.integrator, integrate.NoseHooverNPT):
+            ts = self.integrator.thermostat.init(self.dtype)
+            bs = self.integrator.init(self.dtype)
+        elif isinstance(self.integrator, integrate.NoseHoover):
+            ts = self.integrator.init(self.dtype)
         return MDState(
             pos=pos_w, vel=vel, force=force, box=box,
             step=jnp.zeros((), jnp.int32), rng=key,
             pe=pe, virial=virial, nlist=nlist, pos_at_rebuild=pos_w,
-            thermostat=ts, barostat=None, nbrs=nbrs,
+            thermostat=ts, barostat=bs, nbrs=nbrs,
         )
 
     def _spatial_sort(self, pos: np.ndarray, box: nbops.Box):
@@ -279,32 +289,63 @@ class Simulation:
 
     def _step(self, state: MDState) -> MDState:
         dt = jnp.asarray(self.dt, self.dtype)
-        vel, force, pos = state.vel, state.force, state.pos
-        ts = state.thermostat
+        vel, force, pos, box = state.vel, state.force, state.pos, state.box
+        ts, bs = state.thermostat, state.barostat
         key = state.rng
+        npt = (self.integrator
+               if isinstance(self.integrator, integrate.NoseHooverNPT)
+               else None)
+        n = self.n_atoms
 
-        if isinstance(self.integrator, integrate.NoseHoover):
+        if npt is not None:
+            ke = integrate.kinetic_energy(vel, self.masses)
+            p_now = jnp.trace(integrate.pressure_tensor(
+                vel, self.masses, state.virial, box.volume)) / 3.0
+            bs = npt.piston_half(bs, p_now, box.volume, ke, n, dt)
+            ts, vel = npt.thermostat.half_step(
+                ts, vel, self.masses, self.dof, dt)
+            vel = vel * npt.vel_scale(bs.omega, self.dof, n, dt)
+        elif isinstance(self.integrator, integrate.NoseHoover):
             ts, vel = self.integrator.half_step(
                 ts, vel, self.masses, self.dof, dt)
 
         vel = integrate.nve_halfkick(vel, force, self.masses, dt)
+
+        if npt is not None:
+            s = npt.box_scale(bs.omega, dt)
+            box = integrate.rescale_box(box, s)
+            pos = box.origin + (pos - box.origin) * s
         pos = integrate.nve_drift(pos, vel, dt)
 
-        pe, force, virial = self._forces(pos, state.box, state.nbrs,
-                                         state.step)
+        pe, force, virial = self._forces(pos, box, state.nbrs, state.step)
         if isinstance(self.integrator, integrate.Langevin):
             key, sub = jax.random.split(key)
             force = force + self.integrator.force(sub, vel, self.masses, dt)
 
         vel = integrate.nve_halfkick(vel, force, self.masses, dt)
 
-        if isinstance(self.integrator, integrate.NoseHoover):
+        if npt is not None:
+            vel = vel * npt.vel_scale(bs.omega, self.dof, n, dt)
+            ts, vel = npt.thermostat.half_step(
+                ts, vel, self.masses, self.dof, dt)
+            ke = integrate.kinetic_energy(vel, self.masses)
+            p_now = jnp.trace(integrate.pressure_tensor(
+                vel, self.masses, virial, box.volume)) / 3.0
+            bs = npt.piston_half(bs, p_now, box.volume, ke, n, dt)
+        elif isinstance(self.integrator, integrate.NoseHoover):
             ts, vel = self.integrator.half_step(
                 ts, vel, self.masses, self.dof, dt)
 
+        if self.barostat is not None:
+            p_now = jnp.trace(integrate.pressure_tensor(
+                vel, self.masses, virial, box.volume)) / 3.0
+            s = self.barostat.scale_factor(p_now, dt)
+            box = integrate.rescale_box(box, s)
+            pos = box.origin + (pos - box.origin) * s
+
         return state.replace(
-            pos=pos, vel=vel, force=force, pe=pe, virial=virial,
-            step=state.step + 1, rng=key, thermostat=ts,
+            pos=pos, vel=vel, force=force, pe=pe, virial=virial, box=box,
+            step=state.step + 1, rng=key, thermostat=ts, barostat=bs,
         )
 
     def _chunk(self, state: MDState, n_steps: int):
@@ -323,6 +364,9 @@ class Simulation:
                 "temp": 2.0 * ke / (self.dof * units.BOLTZ),
                 "press": jnp.trace(integrate.pressure_tensor(
                     st.vel, self.masses, st.virial, st.box.volume)) / 3.0,
+                "vol": st.box.volume,
+                "density": jnp.sum(self.masses) / units.AVOGADRO_VOL
+                / st.box.volume,
             }
             return st, scalars
 

@@ -45,6 +45,9 @@ ATM2ENGVOL = 1.0 / NKTV2P
 # femtosecond per LAMMPS-real time unit
 FEMTOSECOND = 1.0
 
+# (g/mol)/A^3 -> g/cm^3 conversion divisor: density = M / (V * AVOGADRO_VOL)
+AVOGADRO_VOL = 0.602214076
+
 # ns/day from ms/step and timestep(fs):
 #   ns_per_day = dt_fs * 86400 / ms_per_step / 1e6
 def ns_per_day(dt_fs: float, ms_per_step: float) -> float:
