@@ -70,7 +70,18 @@ def _strip_comment(line: str) -> str:
     return line.split("#", 1)[0].strip()
 
 
-def read_lammps_data(path) -> LammpsData:
+def read_lammps_data(path, fast: bool | None = None) -> LammpsData:
+    """Parse a data file. `fast=None` auto-selects the native C++ parser
+    (io/fastio.py) for large files; `fast=False` forces the Python path
+    (the behavior oracle)."""
+    if fast is None:
+        fast = Path(path).stat().st_size > 1 << 20  # >1 MB
+    if fast:
+        from . import fastio
+
+        parsed = fastio.read_lammps_data_native(path)
+        if parsed is not None:
+            return parsed
     lines = Path(path).read_text().splitlines()
     n_atoms = n_types = 0
     n_bonds = 0

@@ -85,3 +85,59 @@ def test_cli_runner_end_to_end(tmp_path, capsys):
     from lammps_ani_tpu.io.dump import read_thermo_yaml
     cols = read_thermo_yaml(tmp_path / "thermo.yaml")
     assert cols["step"][-1] == 4.0
+
+
+def test_native_parser_parity(tmp_path):
+    """C++ fastio parser must match the Python parser exactly, including
+    velocities/Hmrmass/bonds sections and triclinic tilt."""
+    from lammps_ani_tpu.io import fastio
+
+    if fastio.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    data = ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data",
+                                 fast=False)
+    data = ldio.replicate(data, 2, 2, 1)
+    import dataclasses
+    data = dataclasses.replace(
+        data,
+        velocities=np.random.default_rng(0).normal(0, 0.01, (data.n_atoms, 3)),
+        per_atom_mass=data.masses_by_type[data.species] * 1.5,
+        tilt=np.array([0.5, 0.25, 0.125]),
+    )
+    p = tmp_path / "sys.data"
+    ldio.write_lammps_data(p, data)
+    py = ldio.read_lammps_data(p, fast=False)
+    cc = fastio.read_lammps_data_native(p)
+    assert cc.n_atoms == py.n_atoms
+    np.testing.assert_array_equal(cc.species, py.species)
+    np.testing.assert_allclose(cc.positions, py.positions)
+    np.testing.assert_allclose(cc.velocities, py.velocities)
+    np.testing.assert_allclose(cc.per_atom_mass, py.per_atom_mass)
+    np.testing.assert_allclose(cc.masses_by_type, py.masses_by_type)
+    np.testing.assert_allclose(cc.box_bounds, py.box_bounds)
+    np.testing.assert_allclose(cc.tilt, py.tilt)
+
+
+def test_native_parser_speed():
+    """The native parser should beat the Python one by a wide margin on a
+    larger file (the point of having it)."""
+    import time
+    from lammps_ani_tpu.io import fastio
+
+    if fastio.get_lib() is None:
+        pytest.skip("no C++ toolchain")
+    import tempfile
+    data = ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data",
+                                 fast=False)
+    data = ldio.replicate(data, 14, 14, 14)  # ~82k atoms
+    with tempfile.TemporaryDirectory() as td:
+        p = f"{td}/big.data"
+        ldio.write_lammps_data(p, data)
+        t0 = time.perf_counter()
+        py = ldio.read_lammps_data(p, fast=False)
+        t_py = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cc = fastio.read_lammps_data_native(p)
+        t_cc = time.perf_counter() - t0
+    np.testing.assert_allclose(cc.positions, py.positions)
+    assert t_cc < t_py / 5, (t_cc, t_py)
