@@ -284,7 +284,11 @@ class Simulation:
         c = jnp.asarray(units.HARTREE2KCALMOL, pos.dtype)
         pe, f, w = pe_h * c, f_h * c, w_h * c
         if self.extra_force is not None:
-            f = f + self.extra_force(pos, box, step)
+            # extra_force sees positions in the CALLER's atom order (CV
+            # definitions use original indices, md/bias.py); remap both ways
+            inv = jnp.asarray(self.inv_order)
+            f_in = self.extra_force(pos[inv], box, step)
+            f = f + f_in[jnp.asarray(self.order)]
         return pe, f, w
 
     def _step(self, state: MDState) -> MDState:

@@ -181,3 +181,45 @@ def test_thermo_log_roundtrip(tmp_path):
     cols = dumpio.read_thermo_yaml(tmp_path / "thermo.yaml")
     assert cols["step"] == [1.0, 2.0]
     assert cols["temp"] == [300.0, 310.0]
+
+
+def test_umbrella_bias_restrains_cv():
+    """A stiff harmonic bias on an O-H distance must hold the CV near the
+    window center while plain dynamics lets it fluctuate more — and CV
+    indices refer to the caller's original atom order."""
+    from lammps_ani_tpu.md import bias
+
+    center = 1.10  # restrain first O-H bond slightly stretched
+    cv = bias.distance_cv(0, 1)  # atoms 0 (O) and 1 (H) in input order
+    b = bias.HarmonicBias(cv=cv, k=2000.0, center=center)
+
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    def make(extra):
+        return lat.Simulation(
+            potential=pot, species=fixtures.WATER30_SPECIES,
+            masses=fixtures.MASSES[fixtures.WATER30_SPECIES],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, k_max=128,
+                                   ghost_capacity=1024, rebuild_every=2),
+            dt=0.1, integrator=integrate.Langevin(temp=300.0, damp=20.0),
+            dtype=jnp.float64, extra_force=extra)
+
+    box = lat.Box(h=jnp.asarray(fixtures.WATER30_BOX, jnp.float64),
+                  origin=jnp.asarray(fixtures.WATER30_ORIGIN, jnp.float64))
+    sim = make(b.force)
+    st = sim.init_state(fixtures.WATER30_POS, box, temp=300.0, seed=3)
+    st, _ = sim.run(st, 30)
+    pos = sim.positions_input_order(st)
+    d = np.linalg.norm(pos[0] - pos[1])
+    assert abs(d - center) < 0.15, d
+
+
+def test_dihedral_cv_value():
+    from lammps_ani_tpu.md import bias
+    # planar cis arrangement -> dihedral 0; trans -> pi
+    pos = jnp.asarray([[0., 1., 0.], [0., 0., 0.], [1., 0., 0.],
+                       [1., 1., 0.]])
+    cv = bias.dihedral_cv(0, 1, 2, 3)
+    assert abs(float(cv(pos, None))) < 1e-6
+    pos_trans = pos.at[3].set(jnp.asarray([1., -1., 0.]))
+    assert abs(abs(float(cv(pos_trans, None))) - np.pi) < 1e-6
