@@ -44,7 +44,7 @@ def minimize(sim, state, max_steps: int = 1000, ftol: float = 1e-4,
 
         pos_w = nbops.wrap_positions(state.pos, state.box)
         nlist = sim._build_nlist(pos_w, state.box)
-        nbrs = nbr_grad.mirror_neighbors(nlist, sim.n_atoms)
+        nbrs = sim._mirror(nlist, pos_w, state.box)
         state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs)
 
         def body(sc, _):

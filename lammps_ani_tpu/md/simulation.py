@@ -45,6 +45,10 @@ from .state import MDState
 class NeighborConfig:
     cutoff: float  # interaction cutoff (Angstrom)
     skin: float = 2.0
+    # Separate (smaller) skin for the frozen angular sub-list: its sphere is
+    # (Rca + ang_skin)^3 so a tight value keeps the per-step vector channel
+    # narrow; the engine enforces disp < min(skin, ang_skin)/2 per interval.
+    ang_skin: float = 1.0
     k_max: int = 64
     ghost_capacity: int = 4096
     n_shell: int = 1
@@ -117,6 +121,7 @@ class Simulation:
         self._shifts = nbops.image_shifts(nbr.n_shell)
         self._grid = None  # CellGrid, host-computed in init_state
         self._k_max = nbr.k_max  # auto-tightened by _derive_angular_caps
+        self._ang_cap = None  # angular sub-list capacity (auto-derived)
         self._auto_angular_caps = (
             auto_angular_caps and potential.spec.angular_caps is None)
         self._chunk_cache = {}
@@ -158,7 +163,7 @@ class Simulation:
         def _init_compute(pos, box):
             pos_w = nbops.wrap_positions(pos, box)
             nlist = self._build_nlist(pos_w, box)
-            nbrs = nbr_grad.mirror_neighbors(nlist, self.n_atoms)
+            nbrs = self._mirror(nlist, pos_w, box)
             pe, force, virial = self._forces(pos_w, box, nbrs,
                                              jnp.zeros((), jnp.int32))
             return pos_w, nlist, nbrs, pe, force, virial
@@ -230,13 +235,16 @@ class Simulation:
             species_j = species_ext[nlist.idx]
             mask = nlist.mask & (species_j >= 0)
             in_ang = mask & (dist < spec.aev.angular_cutoff)
+            in_ang_skin = mask & (
+                dist < spec.aev.angular_cutoff + self.nbr.ang_skin)
             return jnp.stack([
                 jnp.max(jnp.sum(in_ang & (species_j == s), axis=1))
                 for s in range(spec.aev.num_species)
-            ]), nlist.max_count
+            ]), nlist.max_count, jnp.max(jnp.sum(in_ang_skin, axis=1))
 
-        degrees, max_deg = jax.device_get(measure(pos, box))
+        degrees, max_deg, ang_deg = jax.device_get(measure(pos, box))
         degrees = np.asarray(degrees)
+        self._ang_cap = int(-(-int(ang_deg * 1.1 + 2) // 4) * 4)
         # tight neighbor capacity too (radial/displacement work is linear in
         # k_max); growth handled by the same overflow-recovery path
         self._k_max = int(-(-int(max_deg * 1.1 + 4) // 8) * 8)
@@ -265,6 +273,17 @@ class Simulation:
         mask = nlist.mask & (species_j >= 0)
         return aevmod.angular_cap_deficit(
             self.potential.spec.aev, dist, species_j, mask, caps) > 0
+
+    def _mirror(self, nlist, pos, box):
+        """MirrorNeighbors incl. the angular sub-channel when sized."""
+        if self._ang_cap is not None:
+            return nbr_grad.mirror_neighbors(
+                nlist, self.n_atoms, pos=pos, box=box,
+                ang_cutoff=self.potential.spec.aev.angular_cutoff
+                + self.nbr.ang_skin,
+                ang_cap=self._ang_cap, species=self.species)
+        return nbr_grad.mirror_neighbors(nlist, self.n_atoms,
+                                         species=self.species)
 
     def _build_nlist(self, pos, box):
         ghosts = nbops.build_ghosts(
@@ -355,7 +374,7 @@ class Simulation:
     def _chunk(self, state: MDState, n_steps: int):
         pos_w = nbops.wrap_positions(state.pos, state.box)
         nlist = self._build_nlist(pos_w, state.box)
-        nbrs = nbr_grad.mirror_neighbors(nlist, self.n_atoms)
+        nbrs = self._mirror(nlist, pos_w, state.box)
         state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs,
                               pos_at_rebuild=pos_w)
 
@@ -431,10 +450,12 @@ class Simulation:
                     continue
                 raise RuntimeError(
                     "angular_caps overflow: raise ANISpec.angular_caps")
-            if float(disp) > self.nbr.skin / 2:
+            skin_eff = min(self.nbr.skin, self.nbr.ang_skin)
+            if float(disp) > skin_eff / 2:
                 raise RuntimeError(
-                    f"atoms moved {float(disp):.3f} A > skin/2 between "
-                    "rebuilds: lower rebuild_every or raise skin")
+                    f"atoms moved {float(disp):.3f} A > skin/2 "
+                    f"({skin_eff / 2:.2f}) between rebuilds: lower "
+                    "rebuild_every or raise skin/ang_skin")
             state = new_state
             if thermo_every:
                 traj_np = jax.tree.map(np.asarray, traj)

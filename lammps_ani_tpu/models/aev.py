@@ -369,6 +369,7 @@ def compute_aev(
     angular_capacity: int = 32,
     angular_caps: tuple[int, ...] | None = None,
     atom_chunk: int | None = None,
+    angular_inputs=None,  # (diff_a, dist_a, species_a, mask_a) [n, ka]
 ) -> jax.Array:
     """AEV over a padded full neighbor matrix. Returns [n, aev_length].
 
@@ -403,21 +404,31 @@ def compute_aev(
     ).reshape(n, spec.radial_length)
 
     # ---- angular block ----
-    ang_mask = nbr_mask & (dist < spec.angular_cutoff)
+    if angular_inputs is not None:
+        a_diff, a_dist, a_species, a_mask = angular_inputs
+        a_dist = jnp.where(a_mask, a_dist, big)
+        a_species = jnp.where(a_mask, a_species, 0)
+    else:
+        a_diff, a_dist, a_species, a_mask = diff, dist, species_j, nbr_mask
+    ang_mask = a_mask & (a_dist < spec.angular_cutoff)
+    ka = a_dist.shape[1]
     if angular_caps is not None:
         per_species = {}
         for s, cap in enumerate(angular_caps):
             if cap == 0:
                 continue
+            cap = min(cap, ka)
             diff_c, dist_c, mask_c = _compact_onehot(
-                ang_mask & (species_j == s), cap, dist, diff
+                ang_mask & (a_species == s), cap, a_dist, a_diff
             )
             per_species[s] = (diff_c, dist_c, mask_c)
         args = (per_species,)
-        block_fn = functools.partial(_angular_blocked, spec, angular_caps)
+        caps_eff = tuple(min(c, ka) for c in angular_caps)
+        block_fn = functools.partial(_angular_blocked, spec, caps_eff)
     else:
+        cap = min(angular_capacity, ka)
         diff_c, dist_c, mask_c, species_c = _compact_onehot(
-            ang_mask, angular_capacity, dist, diff, species_j
+            ang_mask, cap, a_dist, a_diff, a_species
         )
         args = ((diff_c, dist_c, mask_c, species_c),)
         block_fn = functools.partial(_angular_generic, spec)

@@ -126,26 +126,50 @@ def atomic_energies_mirror(
 
     if local_mask is None:
         local_mask = species >= 0
-    diff, dist = nbr_grad.neighbor_displacements_mirror(
-        pos, box, nbrs.src, nbrs.shift, nbrs.mirror, nbrs.mask)
-    species_j = jnp.where(nbrs.mask, species[nbrs.src], -1)
+    # radial + repulsion: distances only (scalar-cotangent backward)
+    shift_f = nbrs.shift.astype(pos.dtype)
+    dist = nbr_grad.neighbor_dist(
+        pos, box.h, nbrs.src, shift_f, nbrs.mirror, nbrs.mask)
+    species_j = (nbrs.species_j if nbrs.species_j is not None
+                 else jnp.where(nbrs.mask, species[nbrs.src], -1))
     nbr_mask = nbrs.mask & (species_j >= 0)
     ghost_j = jnp.any(nbrs.shift != 0, axis=-1)
+
+    angular_inputs = None
+    diff = None
+    if nbrs.ang_src is not None:
+        # angular: displacement vectors over the narrow frozen sub-list
+        a_diff, a_dist = nbr_grad.neighbor_displacements_mirror(
+            pos, box, nbrs.ang_src, nbrs.ang_shift, nbrs.ang_mirror,
+            nbrs.ang_mask)
+        a_species = (nbrs.ang_species if nbrs.ang_species is not None
+                     else jnp.where(nbrs.ang_mask, species[nbrs.ang_src],
+                                    -1))
+        angular_inputs = (a_diff, a_dist, a_species,
+                          nbrs.ang_mask & (a_species >= 0))
+    else:
+        diff, dist_v = nbr_grad.neighbor_displacements_mirror(
+            pos, box, nbrs.src, nbrs.shift, nbrs.mirror, nbrs.mask)
+        dist = dist_v
     return _energies_from_neighbors(
         pot, species, diff, dist, species_j, nbr_mask, ghost_j,
-        species_counts, local_mask)
+        species_counts, local_mask, angular_inputs=angular_inputs)
 
 
 def _energies_from_neighbors(
     pot, species, diff, dist, species_j, nbr_mask, ghost_j,
-    species_counts, local_mask,
+    species_counts, local_mask, angular_inputs=None,
 ):
-    """Common tail: (diff, dist, species_j) -> per-atom energies [Hartree]."""
+    """Common tail: (diff, dist, species_j) -> per-atom energies [Hartree].
+
+    `angular_inputs`: optional pre-compacted (diff_a, dist_a, species_a,
+    mask_a) for the angular block (mirror path); `diff` may be None then.
+    """
     spec = pot.spec
     # checkpoint: recompute the AEV in the force backward pass instead of
     # holding its radial/angular residuals ([n, k, n_basis] scale) in HBM.
     aev = jax.checkpoint(
-        lambda d, dst: aevmod.compute_aev(
+        lambda d, dst, ang: aevmod.compute_aev(
             spec.aev,
             species,
             d,
@@ -155,8 +179,9 @@ def _energies_from_neighbors(
             angular_capacity=spec.angular_capacity,
             angular_caps=spec.angular_caps,
             atom_chunk=spec.atom_chunk,
+            angular_inputs=ang,
         )
-    )(diff, dist)
+    )(diff, dist, angular_inputs)
 
     if species_counts is not None:
         atomic = netmod.atomic_energies_sorted(

@@ -40,21 +40,83 @@ _NO_SHIFT_CODE = 13  # (0,0,0) in the 3x3x3 shift enumeration
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MirrorNeighbors:
-    """Owner-resolved neighbor structure with mirror-slot table."""
+    """Owner-resolved neighbor structure with mirror-slot tables.
+
+    Two channels, frozen between rebuilds:
+      * the full radial list [n, k] — consumed as *distances only*
+        (radial AEV + repulsion), so its force backward moves one scalar
+        per slot (`neighbor_dist`);
+      * an angular sub-list [n, ka] of slots within
+        angular_cutoff + skin — the only channel needing displacement
+        *vectors*, ~7x narrower, with its own mirror table.
+    """
 
     src: jax.Array  # [n, k] int32 owner rows
     shift: jax.Array  # [n, k, 3] int32 image shifts
     mirror: jax.Array  # [n, k] int32 flat mirror slot indices
     mask: jax.Array  # [n, k] bool
     ok: jax.Array  # [] bool — every valid slot found its mirror
+    species_j: jax.Array | None = None  # [n, k] — hoisted: species are
+    # rebuild-constant; gathering them per step costs ~100 ms at 100k atoms
+    ang_src: jax.Array | None = None  # [n, ka]
+    ang_shift: jax.Array | None = None  # [n, ka, 3]
+    ang_mirror: jax.Array | None = None  # [n, ka]
+    ang_mask: jax.Array | None = None  # [n, ka]
+    ang_species: jax.Array | None = None  # [n, ka]
+    ang_count_max: jax.Array | None = None  # [] — overflow detection
 
 
-def mirror_neighbors(nlist, n_local: int, chunk: int = 2048) -> MirrorNeighbors:
-    """Resolve a NeighborList into the owner/shift/mirror form."""
+def _subset_nlist(nlist, pos, box, n_local, cutoff, cap):
+    """Compact slots with current dist < cutoff into [n, cap] (one-hot
+    matmul compaction, no sorts). Returns (sub NeighborList, max count)."""
+    from . import neighbors as nbops
+
+    pos_ext = nbops.extended_positions(pos, box, nlist.ghosts)
+    pj = pos_ext[nlist.idx]
+    d = pos[:, None, :] - pj
+    dist2 = jnp.sum(d * d, axis=-1)
+    keep = nlist.mask & (dist2 < cutoff * cutoff)
+    count = jnp.sum(keep, axis=1, dtype=jnp.int32)
+    rank = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    slot = jax.nn.one_hot(jnp.where(keep, rank, cap), cap,
+                          dtype=jnp.float32)
+    idx_a = jnp.round(jnp.einsum(
+        "nkc,nk->nc", slot, nlist.idx.astype(jnp.float32))).astype(jnp.int32)
+    mask_a = jnp.einsum("nkc,nk->nc", slot,
+                        keep.astype(jnp.float32)) > 0.5
+    sub = nbops.NeighborList(idx=jnp.where(mask_a, idx_a, 0), mask=mask_a,
+                             ghosts=nlist.ghosts, max_count=jnp.max(count))
+    return sub, jnp.max(count)
+
+
+def mirror_neighbors(nlist, n_local: int, chunk: int = 2048,
+                     pos=None, box=None, ang_cutoff: float | None = None,
+                     ang_cap: int | None = None,
+                     species=None) -> MirrorNeighbors:
+    """Resolve a NeighborList into the owner/shift/mirror form.
+
+    With (pos, box, ang_cutoff, ang_cap) given, also builds the angular
+    sub-channel (slots within ang_cutoff at build time; size the cutoff
+    with the skin so the frozen subset stays complete between rebuilds).
+    With `species` given, hoists the per-slot neighbor species here.
+    """
     src, shift = resolve_owners(nlist, n_local)
     mirror, ok = build_mirror(nlist, n_local, chunk=chunk)
+    ang = {}
+    if species is not None:
+        ang["species_j"] = jnp.where(nlist.mask, species[src], -1)
+    if ang_cutoff is not None:
+        sub, cnt = _subset_nlist(nlist, pos, box, n_local, ang_cutoff,
+                                 ang_cap)
+        a_src, a_shift = resolve_owners(sub, n_local)
+        a_mirror, a_ok = build_mirror(sub, n_local, chunk=chunk)
+        ok = ok & a_ok & (cnt <= ang_cap)
+        ang.update(ang_src=a_src, ang_shift=a_shift, ang_mirror=a_mirror,
+                   ang_mask=sub.mask, ang_count_max=cnt)
+        if species is not None:
+            ang["ang_species"] = jnp.where(sub.mask, species[a_src], -1)
     return MirrorNeighbors(src=src, shift=shift, mirror=mirror,
-                           mask=nlist.mask, ok=ok)
+                           mask=nlist.mask, ok=ok, **ang)
 
 
 def shift_code(shift: jax.Array) -> jax.Array:
@@ -156,6 +218,55 @@ def _diff_bwd(res, g):
 
 
 neighbor_diff.defvjp(_diff_fwd, _diff_bwd)
+
+
+@jax.custom_vjp
+def neighbor_dist(pos, h, src, shift_f, mirror, mask):
+    """[n, k] distances with a scalar-cotangent mirror backward.
+
+    For distance-only consumers (radial AEV, repulsion) the force backward
+    needs one scalar per slot, not a 3-vector: by the mirror symmetry
+    unit_{j,k'} = -unit_{i,k}, the neighbor-role contribution collapses to
+
+        dpos[i] = sum_k (g[i,k] + g.flat[mirror[i,k]]) * unit[i,k]
+
+    so the cross-row traffic is an [n*k] f32 gather — 3x less than the
+    vector channel, and the dominant-gather table drops below cacheable
+    size. dh = -sum shift^T (g unit) uses own-row terms only (each slot's
+    h-dependence is counted on its own row exactly once globally).
+    """
+    return _dist_fwd_impl(pos, h, src, shift_f, mask)
+
+
+def _dist_fwd_impl(pos, h, src, shift_f, mask):
+    pj = pos[src] + shift_f @ h
+    diff = pos[:, None, :] - pj
+    d = jnp.linalg.norm(jnp.where(mask[..., None], diff, 1.0), axis=-1)
+    return jnp.where(mask, d, 1e6)
+
+
+def _dist_fwd(pos, h, src, shift_f, mirror, mask):
+    return (_dist_fwd_impl(pos, h, src, shift_f, mask),
+            (pos, h, src, shift_f, mirror, mask))
+
+
+def _dist_bwd(res, g):
+    pos, h, src, shift_f, mirror, mask = res
+    n, k_max = g.shape
+    g = jnp.where(mask, g, 0.0)
+    # recompute units (cheap relative to storing [n,k,3] residuals)
+    pj = pos[src] + shift_f @ h
+    diff = pos[:, None, :] - pj
+    d = jnp.linalg.norm(jnp.where(mask[..., None], diff, 1.0), axis=-1)
+    unit = jnp.where(mask[..., None], diff / d[..., None], 0.0)
+    gm = g.reshape(n * k_max)[mirror] * mask
+    dpos = jnp.sum((g + gm)[..., None] * unit, axis=1)
+    dh = -jnp.einsum("nka,nk,nkb->ab", shift_f, g, unit,
+                     preferred_element_type=g.dtype)
+    return dpos, dh, None, None, None, None
+
+
+neighbor_dist.defvjp(_dist_fwd, _dist_bwd)
 
 
 def neighbor_displacements_mirror(pos, box, src, shift, mirror, mask):
