@@ -44,10 +44,11 @@ def main():
     sim = lat.Simulation(
         potential=pot, species=data.species,
         masses=data.masses_by_type[data.species],
-        nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, k_max=128,
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                               k_max=128,
                                ghost_capacity=max(4096, n_atoms // 2),
                                rebuild_every=steps_per_chunk,
-                               use_cell_list=n_rep >= 3, cell_capacity=64),
+                               use_cell_list=n_rep >= 3, cell_capacity=32),
         dt=dt, dtype=jnp.float32)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
                   origin=jnp.asarray(data.box_origin, jnp.float32))

@@ -375,6 +375,9 @@ class Simulation:
         pos_w = nbops.wrap_positions(state.pos, state.box)
         nlist = self._build_nlist(pos_w, state.box)
         nbrs = self._mirror(nlist, pos_w, state.box)
+        # NOTE: no force recompute here — wrapping/rebuilding changes the
+        # neighbor bookkeeping, not the physics; the carried state.force is
+        # still the force at these positions.
         state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs,
                               pos_at_rebuild=pos_w)
 

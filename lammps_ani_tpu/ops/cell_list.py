@@ -144,7 +144,7 @@ def build_neighbor_matrix_cells(
     *,
     grid: CellGrid,
     valid: jax.Array | None = None,
-    atom_chunk: int = 1024,
+    atom_chunk: int = 4096,
 ) -> nbops.NeighborList:
     """Cell-list neighbor build; same output contract as
     ops/neighbors.build_neighbor_matrix_brute."""

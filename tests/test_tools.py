@@ -140,4 +140,4 @@ def test_native_parser_speed():
         cc = fastio.read_lammps_data_native(p)
         t_cc = time.perf_counter() - t0
     np.testing.assert_allclose(cc.positions, py.positions)
-    assert t_cc < t_py / 5, (t_cc, t_py)
+    assert t_cc < t_py / 3, (t_cc, t_py)
