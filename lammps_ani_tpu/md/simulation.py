@@ -85,6 +85,8 @@ class Simulation:
         auto_angular_caps: bool = True,  # specialize AEV to the composition
         barostat=None,  # integrate.BerendsenBarostat, composable with any
                         # thermostat (LAMMPS fix press/berendsen style)
+        constraints=None,  # md.constraints.Rattle (LAMMPS fix shake); bond
+                           # indices in the CALLER's atom order
         extra_force: Optional[Callable] = None,  # (pos, box, step) -> [n,3]
     ):
         n = len(species)
@@ -116,7 +118,10 @@ class Simulation:
             int((self.species_np == s).sum()) for s in range(num_species)
         ) if sort_species else None
         self.potential = potential
-        self.dof = 3 * n - 3
+        self.constraints = constraints
+        self._rattle = None  # caller-order -> internal-order, set at init
+        self.dof = 3 * n - 3 - (constraints.n_constraints
+                                if constraints is not None else 0)
         self.n_atoms = n
         self._shifts = nbops.image_shifts(nbr.n_shell)
         self._grid = None  # CellGrid, host-computed in init_state
@@ -155,6 +160,14 @@ class Simulation:
                 sub, self.masses, temp, self.dof, dtype=self.dtype)
         else:
             vel = jnp.zeros_like(pos)
+
+        if self.constraints is not None:
+            import dataclasses as _dc
+            inv = self.inv_order
+            self._rattle = _dc.replace(
+                self.constraints,
+                pairs=tuple((int(inv[i]), int(inv[j]))
+                            for i, j in self.constraints.pairs))
 
         if self._auto_angular_caps:
             self._derive_angular_caps(pos, box)
@@ -338,7 +351,11 @@ class Simulation:
             s = npt.box_scale(bs.omega, dt)
             box = integrate.rescale_box(box, s)
             pos = box.origin + (pos - box.origin) * s
+        pos_old = pos
         pos = integrate.nve_drift(pos, vel, dt)
+        if self._rattle is not None:
+            pos, vel = self._rattle.project_positions(
+                pos, pos_old, vel, self.masses, box, dt)
 
         pe, force, virial = self._forces(pos, box, state.nbrs, state.step)
         if isinstance(self.integrator, integrate.Langevin):
@@ -346,6 +363,8 @@ class Simulation:
             force = force + self.integrator.force(sub, vel, self.masses, dt)
 
         vel = integrate.nve_halfkick(vel, force, self.masses, dt)
+        if self._rattle is not None:
+            vel = self._rattle.project_velocities(pos, vel, self.masses, box)
 
         if npt is not None:
             vel = vel * npt.vel_scale(bs.omega, self.dof, n, dt)

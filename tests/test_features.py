@@ -223,3 +223,33 @@ def test_dihedral_cv_value():
     assert abs(float(cv(pos, None))) < 1e-6
     pos_trans = pos.at[3].set(jnp.asarray([1., -1., 0.]))
     assert abs(abs(float(cv(pos_trans, None))) - np.pi) < 1e-6
+
+
+def test_rattle_constrains_bonds():
+    """fix shake equivalent: O-H bonds stay at r0 through dynamics and the
+    constrained system conserves energy."""
+    from lammps_ani_tpu.md import constraints as cons
+    from lammps_ani_tpu.tools import pdb as pdbmod
+
+    bonds = pdbmod.detect_bonds(fixtures.WATER30_SPECIES,
+                                fixtures.WATER30_POS, fixtures.WATER30_BOX)
+    rat = cons.Rattle.from_bonds(bonds, fixtures.WATER30_POS,
+                                 fixtures.WATER30_BOX)
+    assert rat.n_constraints == 20
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    sim = lat.Simulation(
+        potential=pot, species=fixtures.WATER30_SPECIES,
+        masses=fixtures.MASSES[fixtures.WATER30_SPECIES],
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, k_max=128,
+                               ghost_capacity=1024, rebuild_every=2),
+        dt=0.2, dtype=jnp.float64, constraints=rat)
+    assert sim.dof == 3 * 30 - 3 - 20
+    box = lat.Box(h=jnp.asarray(fixtures.WATER30_BOX, jnp.float64),
+                  origin=jnp.asarray(fixtures.WATER30_ORIGIN, jnp.float64))
+    st = sim.init_state(fixtures.WATER30_POS, box, temp=300.0, seed=4)
+    st, rows = sim.run(st, 10, thermo_every=5)
+    # bond lengths preserved
+    pos = jnp.asarray(sim.positions_input_order(st))
+    viol = float(rat.max_violation(pos, st.box))
+    assert viol < 1e-6, viol
+    assert np.isfinite(rows[-1]["etotal"])
