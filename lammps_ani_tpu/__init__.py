@@ -23,7 +23,7 @@ from .models.potential import (
 from .models.repulsion import RepulsionSpec
 from .md.simulation import NeighborConfig, Simulation
 from .md.state import MDState
-from .md import integrate
+from .md import bias, constraints, integrate, minimize
 from . import units
 
 __version__ = "0.1.0"

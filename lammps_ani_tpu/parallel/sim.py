@@ -295,6 +295,10 @@ class DomainSimulation:
                                    jnp.where(valid, mass, 0.0), vel, vel),
                         AXIS_NAMES) + virial)
                     / box.volume * units.NKTV2P) / 3.0,
+                "vol": box.volume,
+                "density": lax.psum(jnp.sum(jnp.where(valid, mass, 0.0)),
+                                    AXIS_NAMES)
+                / units.AVOGADRO_VOL / box.volume,
             }
             return (pos, vel, force, ts, key, step + 1), (scalars, virial)
 
@@ -325,7 +329,8 @@ class DomainSimulation:
                             if isinstance(self.integrator,
                                           integrate.NoseHoover) else None),
             )
-            traj_spec = {k: P() for k in ("pe", "ke", "temp", "press")}
+            traj_spec = {k: P() for k in ("pe", "ke", "temp", "press",
+                                          "vol", "density")}
             pot_spec = jax.tree.map(lambda _: P(), self.potential)
             fn = _shard_map(
                 functools.partial(self._chunk, n_steps=n_steps),
@@ -369,6 +374,50 @@ class DomainSimulation:
                             thermo_callback(row)
             done += take
         return state, rows
+
+    def save_restart(self, path, state: ShardedState):
+        """Full-state checkpoint of a sharded run (io/restart-compatible
+        semantics; arrays stored in original atom order)."""
+        import json
+
+        arrays = {
+            "pos": self.gather(state, "pos"),
+            "vel": self.gather(state, "vel"),
+            "species": self.gather(state, "species"),
+            "mass": self.gather(state, "mass"),
+            "box_h": np.asarray(jax.device_get(state.box.h)),
+            "box_origin": np.asarray(jax.device_get(state.box.origin)),
+            "step": np.asarray(jax.device_get(state.step)),
+        }
+        if state.thermostat is not None:
+            arrays["ts_eta"] = np.asarray(
+                jax.device_get(state.thermostat.eta))
+            arrays["ts_eta_dot"] = np.asarray(
+                jax.device_get(state.thermostat.eta_dot))
+        meta = {"n_atoms": self.n_global, "dt": self.dt}
+        arrays["__meta__"] = np.frombuffer(
+            json.dumps(meta).encode(), np.uint8)
+        np.savez(path, **arrays)
+
+    def load_restart(self, path) -> ShardedState:
+        import json
+
+        from ..md.integrate import ThermostatState
+        from ..ops import neighbors as nbops
+
+        with np.load(path) as z:
+            box = nbops.Box(h=jnp.asarray(z["box_h"], self.dtype),
+                            origin=jnp.asarray(z["box_origin"], self.dtype))
+            state = self.init_state(z["species"], z["mass"], z["pos"], box,
+                                    vel=z["vel"])
+            ts = state.thermostat
+            if "ts_eta" in z and ts is not None:
+                ts = ThermostatState(
+                    eta=jnp.asarray(z["ts_eta"], self.dtype),
+                    eta_dot=jnp.asarray(z["ts_eta_dot"], self.dtype))
+            state = state.replace(
+                step=jnp.asarray(int(z["step"]), jnp.int32), thermostat=ts)
+        return state
 
     def gather(self, state: ShardedState, field: str) -> np.ndarray:
         """Collect a per-atom field back to original atom order on host."""
