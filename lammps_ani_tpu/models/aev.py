@@ -394,7 +394,7 @@ def compute_aev(
     dist = jnp.where(nbr_mask, dist, big)
     species_j = jnp.where(nbr_mask, species_j, 0)
 
-    # ---- radial block ----
+    # ---- radial block ----  (NVTX-equivalent phase labels)
     rterms = radial_terms(spec, dist)  # [n, k, R]
     rterms = jnp.where(nbr_mask[..., None], rterms, 0.0)
     onehot_j = jax.nn.one_hot(species_j, spec.num_species, dtype=dtype)

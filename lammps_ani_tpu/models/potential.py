@@ -168,6 +168,8 @@ def _energies_from_neighbors(
     spec = pot.spec
     # checkpoint: recompute the AEV in the force backward pass instead of
     # holding its radial/angular residuals ([n, k, n_basis] scale) in HBM.
+    # (named_scope = the reference's NVTX "AEV forward" label,
+    # models/lammps_ani.py:173)
     aev = jax.checkpoint(
         lambda d, dst, ang: aevmod.compute_aev(
             spec.aev,
@@ -183,13 +185,15 @@ def _energies_from_neighbors(
         )
     )(diff, dist, angular_inputs)
 
-    if species_counts is not None:
-        atomic = netmod.atomic_energies_sorted(
-            spec.net, pot.params, species_counts, aev
-        )
-    else:
-        atomic = netmod.atomic_energies_masked(spec.net, pot.params, species, aev)
-    e = netmod.ensemble_energies(atomic)  # [n]
+    with jax.named_scope("nn_forward"):
+        if species_counts is not None:
+            atomic = netmod.atomic_energies_sorted(
+                spec.net, pot.params, species_counts, aev
+            )
+        else:
+            atomic = netmod.atomic_energies_masked(
+                spec.net, pot.params, species, aev)
+        e = netmod.ensemble_energies(atomic)  # [n]
     e = e + spec.shifter(species, dtype=e.dtype)
     if spec.repulsion is not None:
         e = e + repmod.repulsion_energies(
