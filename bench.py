@@ -31,7 +31,7 @@ def main():
 
     n_rep = int(os.environ.get("BENCH_REP", "15"))  # 15^3 * 30 = 101,250
     dt = 0.5
-    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "20"))
+    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "40"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "5"))
 
     data = ldio.replicate(
@@ -72,7 +72,7 @@ def main():
     total_steps = n_chunks * steps_per_chunk
     ms_per_step = (t1 - t0) * 1e3 / total_steps
     steps_per_s = 1e3 / ms_per_step
-    ns_per_day = dt * 86400.0 / ms_per_step * 1e-6
+    ns_per_day = dt * 86.4 / ms_per_step
     matom_steps = n_atoms * steps_per_s / 1e6
 
     result = {

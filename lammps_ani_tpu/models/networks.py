@@ -87,10 +87,21 @@ def init_network_params(
     params = []
     for s in range(spec.num_species):
         layers = []
+        n_layers = len(spec.layer_dims(s))
         for li, (d_in, d_out) in enumerate(spec.layer_dims(s)):
             key, kw, kb = jax.random.split(key, 3)
-            scale = jnp.sqrt(2.0 / d_in).astype(dtype)
-            w = jax.random.normal(kw, (num_models, d_in, d_out), dtype) * scale
+            # damped Kaiming: random deep stacks at full Kaiming scale
+            # amplify fp32 rounding ~1e3x through the force backward; the
+            # damping keeps synthetic per-atom NN energies at the realistic
+            # O(0.01-0.1 Ha) scale of trained ANI nets so fp32/f64 parity
+            # behaves like production weights.
+            damp = 0.05 if li == n_layers - 1 else 0.5
+            scale = jnp.float32(np.sqrt(2.0 / d_in) * damp)
+            # draw in f32 regardless of target dtype: the PRNG stream is
+            # dtype-dependent, and the f32/f64 potentials must hold the
+            # SAME weights for cross-precision parity to mean anything
+            w = (jax.random.normal(kw, (num_models, d_in, d_out),
+                                   jnp.float32) * scale).astype(dtype)
             b = jnp.zeros((num_models, d_out), dtype)
             layers.append({"w": w, "b": b})
         params.append(layers)

@@ -173,7 +173,7 @@ def main(argv=None):
             restio.save_restart(cfg["restart"], sim, state)
     wall = time.perf_counter() - t0
     ms = wall / max(steps, 1) * 1e3
-    nsday = cfg["dt"] * 86400.0 / ms * 1e-6
+    nsday = cfg["dt"] * 86.4 / ms
     print(f"# Performance: {nsday:.4f} ns/day, {1e3 / ms:.3f} timesteps/s, "
           f"{sim.n_atoms * 1e-6 * 1e3 / ms:.4f} Matom-step/s")
     if writer:

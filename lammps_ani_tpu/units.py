@@ -49,6 +49,6 @@ FEMTOSECOND = 1.0
 AVOGADRO_VOL = 0.602214076
 
 # ns/day from ms/step and timestep(fs):
-#   ns_per_day = dt_fs * 86400 / ms_per_step / 1e6
+#   steps/day = 86400e3 ms / ms_per_step; ns/day = steps/day * dt_fs / 1e6
 def ns_per_day(dt_fs: float, ms_per_step: float) -> float:
-    return dt_fs * 86400.0 / ms_per_step * 1e-6
+    return dt_fs * 86.4 / ms_per_step

@@ -67,20 +67,17 @@ def test_golden_mirror_fast_path(model, tag):
     np.testing.assert_allclose(np.asarray(w), GOLDEN[f"{tag}_w"], atol=1e-9)
 
 
-def test_golden_fp32_sanity():
-    """fp32 vs f64 golden. NOTE: the deterministic synthetic nets are far
-    worse conditioned than trained ANI weights (their NN energies are a
-    ~1.5 Ha signal riding on a -763 Ha SAE baseline, and random Kaiming
-    layers amplify rounding), so the reference's trained-weight parity bar
-    (1.2e-4 relative, models/test_models.py:213-214) does not apply here.
-    This guards against catastrophic precision regressions (e.g. an
-    accidental bf16 matmul default), not fp32 ulp noise."""
+def test_golden_fp32_within_reference_bar():
+    """fp32 vs f64 golden with identical weights: must sit within the
+    reference's single-precision parity bar (1.2e-4 relative,
+    models/test_models.py:213-214; observed here ~5e-8 energy / 2.4e-6
+    force relative). Also guards against an accidental bf16 matmul
+    default sneaking into the force path."""
     pot = zoo.ani2x(num_models=2, dtype=jnp.float32)
     sp, pos, box, nlist = _system(jnp.float32)
     e, f, w = potmod.energy_forces_virial(pot, sp, pos, box, nlist)
     e_ref = float(GOLDEN["ani2x_e"])
-    assert abs(float(e) - e_ref) / abs(e_ref) < 5e-3
+    assert abs(float(e) - e_ref) / abs(e_ref) < 1e-6
     f_ref = GOLDEN["ani2x_f"]
-    scale = np.abs(f_ref).max()
     f_err = np.abs(np.asarray(f) - f_ref).max()
-    assert f_err / scale < 0.05, (f_err, scale)
+    assert f_err / np.abs(f_ref).max() < 1e-4, f_err
