@@ -105,13 +105,25 @@ def test_berendsen_water_smoke():
 
 
 def test_fire_minimization_reduces_forces():
-    sim, box = make_sim(dt=0.1)
+    # ani1xnr: its XTB repulsion prevents the unphysical atom collapse a
+    # purely-synthetic attractive PES allows under aggressive relaxation
+    pot = zoo.ani1xnr(num_models=1, dtype=jnp.float64)
+    sim = lat.Simulation(
+        potential=pot, species=fixtures.WATER30_SPECIES,
+        masses=fixtures.MASSES[fixtures.WATER30_SPECIES],
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, k_max=128,
+                               ghost_capacity=1024, rebuild_every=2),
+        dt=0.1, dtype=jnp.float64)
+    box = lat.Box(h=jnp.asarray(fixtures.WATER30_BOX, jnp.float64),
+                  origin=jnp.asarray(fixtures.WATER30_ORIGIN, jnp.float64))
     rng = np.random.default_rng(0)
     pos = fixtures.WATER30_POS + rng.normal(0, 0.05, (30, 3))
     st = sim.init_state(pos, box)
     f0 = float(jnp.max(jnp.abs(st.force)))
     pe0 = float(st.pe)
-    st, info = minimize.minimize(sim, st, max_steps=200, ftol=f0 * 0.2)
+    st, info = minimize.minimize(
+        sim, st, max_steps=200, ftol=f0 * 0.2,
+        config=minimize.FireConfig(dt_start=0.1, dt_max=0.5))
     assert info["fmax"] < f0
     assert info["pe"] < pe0
 

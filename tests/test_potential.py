@@ -76,7 +76,10 @@ def test_forces_match_finite_difference(repulsion):
     e, f = potmod.energy_forces(pot, species, pos, box, nlist)
     f = np.asarray(f)
 
-    eps = 1e-6
+    # fd noise floor: E ~ -763 Ha at ~1e-16 relative -> ~8e-14 absolute;
+    # divided by 2*eps this bounds achievable fd accuracy, so eps and atol
+    # are sized for the damped synthetic force scale (~1e-2 Ha/A)
+    eps = 1e-5
     pos_np = np.asarray(pos)
     for (i, d) in [(0, 0), (1, 2), (7, 1), (29, 0), (15, 2)]:
         pp, pm = pos_np.copy(), pos_np.copy()
@@ -85,7 +88,7 @@ def test_forces_match_finite_difference(repulsion):
         ep = potmod.potential_energy(pot, species, jnp.asarray(pp), box, nlist)
         em = potmod.potential_energy(pot, species, jnp.asarray(pm), box, nlist)
         fd = -(float(ep) - float(em)) / (2 * eps)
-        np.testing.assert_allclose(f[i, d], fd, rtol=1e-5, atol=1e-8)
+        np.testing.assert_allclose(f[i, d], fd, rtol=1e-4, atol=5e-8)
 
 
 def test_virial_matches_strain_finite_difference():
@@ -95,7 +98,7 @@ def test_virial_matches_strain_finite_difference():
     w = np.asarray(w)
     assert np.allclose(w, w.T)
 
-    eps = 1e-6
+    eps = 1e-5
     pos_np, h_np = np.asarray(pos), np.asarray(box.h)
     for (a, b) in [(0, 0), (1, 1), (2, 2), (0, 1)]:
         strain = np.zeros((3, 3))
@@ -108,7 +111,7 @@ def test_virial_matches_strain_finite_difference():
         fd = -(e_at(strain) - e_at(-strain)) / (2 * eps)
         # symmetric perturbation hits both (a,b) and (b,a) off-diagonal
         expected = w[a, b] if a == b else 2 * w[a, b]
-        np.testing.assert_allclose(expected, fd, rtol=1e-4, atol=1e-9)
+        np.testing.assert_allclose(expected, fd, rtol=1e-3, atol=5e-8)
 
 
 def test_select_models_and_ensemble_mean():
