@@ -45,14 +45,16 @@ def minimize(sim, state, max_steps: int = 1000, ftol: float = 1e-4,
         pos_w = nbops.wrap_positions(state.pos, state.box)
         nlist = sim._build_nlist(pos_w, state.box)
         nbrs = sim._mirror(nlist, pos_w, state.box)
-        state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs)
+        bins = sim._bins(pos_w, state.box)
+        state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs, bins=bins)
 
         def body(sc, _):
             st, (dt, alpha, n_pos) = sc
             vel = st.vel + (0.5 * dt * units.FTM2V) * st.force \
                 / sim.masses[:, None]
             pos = st.pos + dt * vel
-            pe, force, virial = sim._forces(pos, st.box, st.nbrs, st.step)
+            pe, force, virial = sim._forces(pos, st.box, st.nbrs, st.bins,
+                                            st.step)
             vel = vel + (0.5 * dt * units.FTM2V) * force \
                 / sim.masses[:, None]
 

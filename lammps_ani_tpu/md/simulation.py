@@ -87,6 +87,11 @@ class Simulation:
                         # thermostat (LAMMPS fix press/berendsen style)
         constraints=None,  # md.constraints.Rattle (LAMMPS fix shake); bond
                            # indices in the CALLER's atom order
+        cellroll: bool = False,  # EXPERIMENTAL gather-free radial channel
+                                 # (ops/cell_roll): numerically exact
+                                 # (tests/test_cell_roll.py) but its TPU
+                                 # chunking still faults the v5e runtime at
+                                 # 100k atoms — lands as default in round 2
         extra_force: Optional[Callable] = None,  # (pos, box, step) -> [n,3]
     ):
         n = len(species)
@@ -127,6 +132,11 @@ class Simulation:
         self._grid = None  # CellGrid, host-computed in init_state
         self._k_max = nbr.k_max  # auto-tightened by _derive_angular_caps
         self._ang_cap = None  # angular sub-list capacity (auto-derived)
+        self._want_cellroll = cellroll and potential.spec.repulsion is None
+        self._roll_grid = None  # ops/cell_roll.RollGrid when active
+        # query cutoff for the candidate structure: with the cell-roll
+        # radial channel only angular candidates are needed
+        self._rlist_query = nbr.rlist
         self._auto_angular_caps = (
             auto_angular_caps and potential.spec.angular_caps is None)
         self._chunk_cache = {}
@@ -146,10 +156,26 @@ class Simulation:
         pos = jnp.asarray(np.asarray(pos)[self.order], self.dtype)
         box = nbops.Box(h=jnp.asarray(box.h, self.dtype),
                         origin=jnp.asarray(box.origin, self.dtype))
+        if self._want_cellroll and self._roll_grid is None:
+            from ..ops import cell_roll as crmod
+            side = self.potential.spec.cutoff + self.nbr.ang_skin
+            probe = crmod.RollGrid.for_box(np.asarray(box.h), side, 64)
+            if probe is not None:
+                cnt = int(jax.device_get(jax.jit(
+                    lambda p, b: crmod.build_bins(
+                        probe, nbops.wrap_positions(p, b),
+                        self.species, b).count_max)(pos, box)))
+                cap = int(-(-int(cnt * 1.15 + 2) // 4) * 4)
+                self._roll_grid = crmod.RollGrid(ncells=probe.ncells,
+                                                 cap=cap)
+                self._rlist_query = (
+                    self.potential.spec.aev.angular_cutoff
+                    + self.nbr.ang_skin)
         if self.nbr.use_cell_list and self._grid is None:
             from ..ops import cell_list as clmod
             self._grid = clmod.CellGrid.for_box(
-                np.asarray(box.h), self.nbr.rlist, self.nbr.cell_capacity)
+                np.asarray(box.h), self._rlist_query,
+                self.nbr.cell_capacity)
             # None => box too small for a 3x3x3 grid; brute build instead.
         key = jax.random.PRNGKey(seed)
         if vel is not None:
@@ -177,11 +203,12 @@ class Simulation:
             pos_w = nbops.wrap_positions(pos, box)
             nlist = self._build_nlist(pos_w, box)
             nbrs = self._mirror(nlist, pos_w, box)
-            pe, force, virial = self._forces(pos_w, box, nbrs,
+            bins = self._bins(pos_w, box)
+            pe, force, virial = self._forces(pos_w, box, nbrs, bins,
                                              jnp.zeros((), jnp.int32))
-            return pos_w, nlist, nbrs, pe, force, virial
+            return pos_w, nlist, nbrs, bins, pe, force, virial
 
-        pos_w, nlist, nbrs, pe, force, virial = _init_compute(pos, box)
+        pos_w, nlist, nbrs, bins, pe, force, virial = _init_compute(pos, box)
         ts, bs = None, None
         if isinstance(self.integrator, integrate.NoseHooverNPT):
             ts = self.integrator.thermostat.init(self.dtype)
@@ -192,7 +219,7 @@ class Simulation:
             pos=pos_w, vel=vel, force=force, box=box,
             step=jnp.zeros((), jnp.int32), rng=key,
             pe=pe, virial=virial, nlist=nlist, pos_at_rebuild=pos_w,
-            thermostat=ts, barostat=bs, nbrs=nbrs,
+            thermostat=ts, barostat=bs, nbrs=nbrs, bins=bins,
         )
 
     def _spatial_sort(self, pos: np.ndarray, box: nbops.Box):
@@ -289,30 +316,40 @@ class Simulation:
 
     def _mirror(self, nlist, pos, box):
         """MirrorNeighbors incl. the angular sub-channel when sized."""
+        main = self._roll_grid is None  # cell-roll replaces the channel
         if self._ang_cap is not None:
             return nbr_grad.mirror_neighbors(
                 nlist, self.n_atoms, pos=pos, box=box,
                 ang_cutoff=self.potential.spec.aev.angular_cutoff
                 + self.nbr.ang_skin,
-                ang_cap=self._ang_cap, species=self.species)
+                ang_cap=self._ang_cap, species=self.species,
+                main_mirror=main)
         return nbr_grad.mirror_neighbors(nlist, self.n_atoms,
-                                         species=self.species)
+                                         species=self.species,
+                                         main_mirror=main)
 
     def _build_nlist(self, pos, box):
+        rq = self._rlist_query
         ghosts = nbops.build_ghosts(
-            pos, box, self.nbr.rlist, self.nbr.ghost_capacity, self._shifts)
+            pos, box, rq, self.nbr.ghost_capacity, self._shifts)
         if self.nbr.use_cell_list and self._grid is not None:
             from ..ops import cell_list as clmod
             return clmod.build_neighbor_matrix_cells(
-                pos, box, self.nbr.rlist, self._k_max, ghosts,
-                grid=self._grid)
+                pos, box, rq, self._k_max, ghosts, grid=self._grid)
         return nbops.build_neighbor_matrix_brute(
-            pos, box, self.nbr.rlist, self._k_max, ghosts)
+            pos, box, rq, self._k_max, ghosts)
 
-    def _forces(self, pos, box, nbrs, step):
+    def _bins(self, pos, box):
+        if self._roll_grid is None:
+            return None
+        from ..ops import cell_roll as crmod
+        return crmod.build_bins(self._roll_grid, pos, self.species, box)
+
+    def _forces(self, pos, box, nbrs, bins, step):
+        cellroll = None if bins is None else (self._roll_grid, bins)
         pe_h, f_h, w_h = potmod.energy_forces_virial_mirror(
             self.potential, self.species, pos, box, nbrs,
-            species_counts=self.species_counts)
+            species_counts=self.species_counts, cellroll=cellroll)
         c = jnp.asarray(units.HARTREE2KCALMOL, pos.dtype)
         pe, f, w = pe_h * c, f_h * c, w_h * c
         if self.extra_force is not None:
@@ -357,7 +394,8 @@ class Simulation:
             pos, vel = self._rattle.project_positions(
                 pos, pos_old, vel, self.masses, box, dt)
 
-        pe, force, virial = self._forces(pos, box, state.nbrs, state.step)
+        pe, force, virial = self._forces(pos, box, state.nbrs, state.bins,
+                                         state.step)
         if isinstance(self.integrator, integrate.Langevin):
             key, sub = jax.random.split(key)
             force = force + self.integrator.force(sub, vel, self.masses, dt)
@@ -394,10 +432,11 @@ class Simulation:
         pos_w = nbops.wrap_positions(state.pos, state.box)
         nlist = self._build_nlist(pos_w, state.box)
         nbrs = self._mirror(nlist, pos_w, state.box)
+        bins = self._bins(pos_w, state.box)
         # NOTE: no force recompute here — wrapping/rebuilding changes the
         # neighbor bookkeeping, not the physics; the carried state.force is
         # still the force at these positions.
-        state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs,
+        state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs, bins=bins,
                               pos_at_rebuild=pos_w)
 
         def body(st, _):
@@ -421,6 +460,8 @@ class Simulation:
                                        axis=-1))
         overflowed = state.nlist.overflowed | ~nbrs.ok | \
             self._angular_overflow(pos_w, state.box, nlist)
+        if bins is not None:
+            overflowed = overflowed | (bins.count_max > self._roll_grid.cap)
         return state, traj, disp, overflowed
 
     def _jitted_chunk(self, n_steps: int):

@@ -54,6 +54,8 @@ class MDState:
     # owner/shift/mirror neighbor form for the scatter-free force path
     # (ops/nbr_grad.MirrorNeighbors); rebuilt with nlist
     nbrs: Optional[object] = None
+    # cell-roll bins for the gather-free radial channel (ops/cell_roll)
+    bins: Optional[object] = None
 
     def replace(self, **kw) -> "MDState":
         return dataclasses.replace(self, **kw)

@@ -370,6 +370,7 @@ def compute_aev(
     angular_caps: tuple[int, ...] | None = None,
     atom_chunk: int | None = None,
     angular_inputs=None,  # (diff_a, dist_a, species_a, mask_a) [n, ka]
+    radial_override=None,  # [n, radial_length] precomputed radial block
 ) -> jax.Array:
     """AEV over a padded full neighbor matrix. Returns [n, aev_length].
 
@@ -386,22 +387,28 @@ def compute_aev(
     The angular contraction is chunked over atoms with lax.map when
     `atom_chunk` is set, and rematerialized (jax.checkpoint) under autodiff.
     """
-    n, k = dist.shape
-    dtype = dist.dtype
+    if radial_override is not None:
+        n = radial_override.shape[0]
+        dtype = radial_override.dtype
+        big = jnp.asarray(2.0 * spec.radial_cutoff + 10.0, dtype)
+        radial_aev = radial_override
+    else:
+        n, k = dist.shape
+        dtype = dist.dtype
 
-    # Neutralize invalid slots: huge distance -> fc = 0 everywhere.
-    big = jnp.asarray(2.0 * spec.radial_cutoff + 10.0, dtype)
-    dist = jnp.where(nbr_mask, dist, big)
-    species_j = jnp.where(nbr_mask, species_j, 0)
+        # Neutralize invalid slots: huge distance -> fc = 0 everywhere.
+        big = jnp.asarray(2.0 * spec.radial_cutoff + 10.0, dtype)
+        dist = jnp.where(nbr_mask, dist, big)
+        species_j = jnp.where(nbr_mask, species_j, 0)
 
-    # ---- radial block ----  (NVTX-equivalent phase labels)
-    rterms = radial_terms(spec, dist)  # [n, k, R]
-    rterms = jnp.where(nbr_mask[..., None], rterms, 0.0)
-    onehot_j = jax.nn.one_hot(species_j, spec.num_species, dtype=dtype)
-    onehot_j = onehot_j * nbr_mask[..., None]
-    radial_aev = jnp.einsum(
-        "nks,nkr->nsr", onehot_j, rterms, preferred_element_type=dtype
-    ).reshape(n, spec.radial_length)
+        # ---- radial block ----  (NVTX-equivalent phase labels)
+        rterms = radial_terms(spec, dist)  # [n, k, R]
+        rterms = jnp.where(nbr_mask[..., None], rterms, 0.0)
+        onehot_j = jax.nn.one_hot(species_j, spec.num_species, dtype=dtype)
+        onehot_j = onehot_j * nbr_mask[..., None]
+        radial_aev = jnp.einsum(
+            "nks,nkr->nsr", onehot_j, rterms, preferred_element_type=dtype
+        ).reshape(n, spec.radial_length)
 
     # ---- angular block ----
     if angular_inputs is not None:

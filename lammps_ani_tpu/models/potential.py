@@ -119,21 +119,40 @@ def atomic_energies_mirror(
     nbrs,  # MirrorNeighbors (ops/nbr_grad semantics)
     species_counts: Optional[Sequence[int]] = None,
     local_mask: jax.Array | None = None,
+    cellroll=None,  # (RollGrid, RollBins): gather-free radial channel
 ) -> jax.Array:
     """[n] per-atom energies via the scatter-free mirror neighbor path
-    (ops/nbr_grad.py) — the single-device production path."""
+    (ops/nbr_grad.py) — the single-device production path. With `cellroll`
+    the radial block comes from the gather-free cell-roll channel
+    (ops/cell_roll.py) and the distance channel is skipped entirely
+    (requires spec.repulsion is None)."""
     from ..ops import nbr_grad
 
     if local_mask is None:
         local_mask = species >= 0
-    # radial + repulsion: distances only (scalar-cotangent backward)
-    shift_f = nbrs.shift.astype(pos.dtype)
-    dist = nbr_grad.neighbor_dist(
-        pos, box.h, nbrs.src, shift_f, nbrs.mirror, nbrs.mask)
-    species_j = (nbrs.species_j if nbrs.species_j is not None
-                 else jnp.where(nbrs.mask, species[nbrs.src], -1))
-    nbr_mask = nbrs.mask & (species_j >= 0)
+    radial_override = None
+    dist = None
+    species_j = nbrs.species_j
+    nbr_mask = nbrs.mask
     ghost_j = jnp.any(nbrs.shift != 0, axis=-1)
+    if cellroll is not None:
+        assert pot.spec.repulsion is None, (
+            "cell-roll channel has no pair distances for repulsion")
+        from ..ops import cell_roll as crmod
+
+        grid, bins = cellroll
+        radial_override = crmod.radial_aev_cellroll(
+            pot.spec.aev, grid, bins, pos, box)
+        radial_override = jnp.where(local_mask[:, None], radial_override,
+                                    0.0)
+    else:
+        # radial + repulsion: distances only (scalar-cotangent backward)
+        shift_f = nbrs.shift.astype(pos.dtype)
+        dist = nbr_grad.neighbor_dist(
+            pos, box.h, nbrs.src, shift_f, nbrs.mirror, nbrs.mask)
+        species_j = (nbrs.species_j if nbrs.species_j is not None
+                     else jnp.where(nbrs.mask, species[nbrs.src], -1))
+        nbr_mask = nbrs.mask & (species_j >= 0)
 
     angular_inputs = None
     diff = None
@@ -153,12 +172,13 @@ def atomic_energies_mirror(
         dist = dist_v
     return _energies_from_neighbors(
         pot, species, diff, dist, species_j, nbr_mask, ghost_j,
-        species_counts, local_mask, angular_inputs=angular_inputs)
+        species_counts, local_mask, angular_inputs=angular_inputs,
+        radial_override=radial_override)
 
 
 def _energies_from_neighbors(
     pot, species, diff, dist, species_j, nbr_mask, ghost_j,
-    species_counts, local_mask, angular_inputs=None,
+    species_counts, local_mask, angular_inputs=None, radial_override=None,
 ):
     """Common tail: (diff, dist, species_j) -> per-atom energies [Hartree].
 
@@ -171,7 +191,7 @@ def _energies_from_neighbors(
     # (named_scope = the reference's NVTX "AEV forward" label,
     # models/lammps_ani.py:173)
     aev = jax.checkpoint(
-        lambda d, dst, ang: aevmod.compute_aev(
+        lambda d, dst, ang, rad: aevmod.compute_aev(
             spec.aev,
             species,
             d,
@@ -182,8 +202,9 @@ def _energies_from_neighbors(
             angular_caps=spec.angular_caps,
             atom_chunk=spec.atom_chunk,
             angular_inputs=ang,
+            radial_override=rad,
         )
-    )(diff, dist, angular_inputs)
+    )(diff, dist, angular_inputs, radial_override)
 
     with jax.named_scope("nn_forward"):
         if species_counts is not None:
@@ -275,7 +296,8 @@ def energy_forces_virial(
 
 
 def energy_forces_virial_mirror(
-    pot, species, pos, box, nbrs, species_counts=None, local_mask=None
+    pot, species, pos, box, nbrs, species_counts=None, local_mask=None,
+    cellroll=None,
 ):
     """(E, F, W) via the scatter-free mirror path. Virial flows through the
     custom op's exact box cotangent (dE/dh = -sum shift^T g)."""
@@ -285,7 +307,8 @@ def energy_forces_virial_mirror(
         pos_d = pos_ @ deform
         box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
         return jnp.sum(atomic_energies_mirror(
-            pot, species, pos_d, box_d, nbrs, species_counts, local_mask))
+            pot, species, pos_d, box_d, nbrs, species_counts, local_mask,
+            cellroll=cellroll))
 
     eps0 = jnp.zeros((3, 3), pos.dtype)
     e, (deps, dpos) = jax.value_and_grad(

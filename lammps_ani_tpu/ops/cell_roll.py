@@ -160,16 +160,18 @@ def _radial_basis(aev_spec, d, fc):
     else:
         uniform = False
     if uniform and len(aev_spec.eta_r) == 1:
+        # running product t_k = exp(-eta (x - k delta)^2): every
+        # intermediate IS a basis value in (0, 1], so nothing overflows
+        # (naive A * B^k * C_k blows past f64 range before cancelling)
         x = d - mu0
-        a = jnp.exp(-eta * x * x)  # exp #1
+        t = jnp.exp(-eta * x * x)  # exp #1
         b = jnp.exp(2.0 * eta * delta * x)  # exp #2
-        ck = jnp.asarray(np.exp(-eta * (np.arange(len(shf)) * delta) ** 2),
-                         d.dtype)
-        terms = []
-        bk = jnp.ones_like(b)
-        for k in range(len(shf)):
-            terms.append(a * bk * ck[k])
-            bk = bk * b
+        step = [float(np.exp(-eta * delta * delta * (2 * k - 1)))
+                for k in range(len(shf))]
+        terms = [t]
+        for k in range(1, len(shf)):
+            t = t * b * step[k]
+            terms.append(t)
         out = jnp.stack(terms, axis=-1)
     else:
         eta_r = jnp.asarray(aev_spec.eta_r, d.dtype).reshape(-1, 1)
@@ -180,7 +182,7 @@ def _radial_basis(aev_spec, d, fc):
 
 
 def radial_aev_cellroll(aev_spec, grid: RollGrid, bins: RollBins, pos, box,
-                        cell_chunk: int = 512):
+                        cell_chunk: int = 4096):
     """[n, S*R] radial AEV, gather-free. Differentiable w.r.t. pos and
     box.h (plain autodiff — every op here has a cheap TPU transpose:
     rolls transpose to rolls, the n-scatter to an n-gather)."""
@@ -196,29 +198,48 @@ def radial_aev_cellroll(aev_spec, grid: RollGrid, bins: RollBins, pos, box,
 
     total, cap = grid.total, grid.cap
     eye = jnp.arange(cap)[:, None] == jnp.arange(cap)[None, :]
+    pad = (-total) % cell_chunk
+    n_chunks = (total + pad) // cell_chunk
+
+    def padded(x):
+        return jnp.pad(
+            x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+
+    @jax.checkpoint
+    def pair_chunk(args):
+        """One z-chunk of one offset: [c, cap, S*R] contribution.
+
+        Chunked + rematerialized: the [*, cap, cap, R] pair intermediates
+        never exceed ~cell_chunk * cap^2 * R floats in HBM.
+        """
+        my_pos, nbr_pos, nbr_oh, self_excl = args
+        d = my_pos[:, :, None, :] - nbr_pos[:, None, :, :]
+        dist2 = jnp.sum(d * d, axis=-1)  # [c, a, b]
+        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
+        in_cut = (dist <= cutoff) & ~(self_excl & eye[None, :, :])
+        fc = jnp.where(
+            in_cut, 0.5 * jnp.cos(dist * (math.pi / cutoff)) + 0.5, 0.0)
+        # clamp before the basis: the exp recurrence overflows at the 1e6
+        # empty-slot park distance (inf * fc=0 would be NaN)
+        d_eff = jnp.minimum(dist, cutoff + 1.0)
+        rt = _radial_basis(spec, d_eff, fc)  # [c, a, b, R]
+        out = jnp.einsum("zabr,zbs->zasr", rt, nbr_oh,
+                         preferred_element_type=dtype)
+        return out.reshape(-1, cap, s_count * r_len)
 
     def offset_contrib(off):
         shift = jnp.asarray(_wrap_shift(grid, off), dtype)  # [total, 3]
         nbr_pos = _roll_cells(grid, pos_grid, off)  # [total, cap, 3]
         nbr_oh = _roll_cells(grid, onehot_nbr_all, off)
         nbr_pos = nbr_pos + (shift @ box.h)[:, None, :]
-        d = pos_grid[:, :, None, :] - nbr_pos[:, None, :, :]
-        dist2 = jnp.sum(d * d, axis=-1)  # [total, a, b]
-        dist = jnp.sqrt(jnp.maximum(dist2, 1e-12))
-        in_cut = dist <= cutoff
-        if off == (0, 0, 0):  # exclude the self pair (same bin, same slot)
-            in_cut = in_cut & ~eye[None, :, :]
-        fc = jnp.where(
-            in_cut, 0.5 * jnp.cos(dist * (math.pi / cutoff)) + 0.5, 0.0)
-        # clamp before the basis: the exp recurrence overflows at the 1e6
-        # empty-slot park distance (inf * fc=0 would be NaN)
-        d_eff = jnp.minimum(dist, cutoff + 1.0)
-        rt = _radial_basis(spec, d_eff, fc)  # [total, a, b, R]
-        return jnp.einsum("zabr,zbs->zasr", rt, nbr_oh,
-                          preferred_element_type=dtype)
+        self_excl = jnp.full((total, 1, 1), off == (0, 0, 0))
+        args = jax.tree.map(
+            lambda x: padded(x).reshape(n_chunks, cell_chunk, *x.shape[1:]),
+            (pos_grid, nbr_pos, nbr_oh, self_excl))
+        out = jax.lax.map(pair_chunk, args)
+        return out.reshape(total + pad, cap, s_count * r_len)[:total]
 
-    acc = jnp.zeros((total, cap, s_count, r_len), dtype)
+    acc = jnp.zeros((total, cap, s_count * r_len), dtype)
     for off in _OFFSETS:  # static 27-way unroll: rolls are layout-only
         acc = acc + offset_contrib(off)
-    out_grid = acc.reshape(total, cap, s_count * r_len)
-    return gather_from_grid(bins, out_grid)
+    return gather_from_grid(bins, acc)

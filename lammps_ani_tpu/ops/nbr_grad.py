@@ -92,7 +92,8 @@ def _subset_nlist(nlist, pos, box, n_local, cutoff, cap):
 def mirror_neighbors(nlist, n_local: int, chunk: int = 2048,
                      pos=None, box=None, ang_cutoff: float | None = None,
                      ang_cap: int | None = None,
-                     species=None) -> MirrorNeighbors:
+                     species=None, main_mirror: bool = True
+                     ) -> MirrorNeighbors:
     """Resolve a NeighborList into the owner/shift/mirror form.
 
     With (pos, box, ang_cutoff, ang_cap) given, also builds the angular
@@ -101,7 +102,11 @@ def mirror_neighbors(nlist, n_local: int, chunk: int = 2048,
     With `species` given, hoists the per-slot neighbor species here.
     """
     src, shift = resolve_owners(nlist, n_local)
-    mirror, ok = build_mirror(nlist, n_local, chunk=chunk)
+    if main_mirror:
+        mirror, ok = build_mirror(nlist, n_local, chunk=chunk)
+    else:  # radial channel served by the cell-roll path: no mirror needed
+        mirror = jnp.zeros_like(nlist.idx)
+        ok = jnp.ones((), bool)
     ang = {}
     if species is not None:
         ang["species_j"] = jnp.where(nlist.mask, species[src], -1)
