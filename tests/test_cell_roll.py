@@ -88,3 +88,31 @@ def test_cellroll_bins_overflow_detected():
     grid = crmod.RollGrid.for_box(np.asarray(box.h), spec.radial_cutoff, 2)
     bins = crmod.build_bins(grid, pos, species, box)
     assert int(bins.count_max) > 2
+
+
+def test_simulation_with_cellroll_matches_default():
+    """4 MD steps with the experimental cell-roll radial channel must
+    reproduce the default engine trajectory (f64)."""
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        2, 2, 2)  # 16 A box: smallest that fits a 3x3x3 roll grid
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    def run(cellroll):
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160, ghost_capacity=8192,
+                                   rebuild_every=2),
+            dt=0.2, dtype=jnp.float64, cellroll=cellroll)
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, temp=300.0, seed=11)
+        st, _ = sim.run(st, 4)
+        return sim.positions_input_order(st), float(st.pe)
+
+    p_roll, e_roll = run(True)
+    p_ref, e_ref = run(False)
+    np.testing.assert_allclose(e_roll, e_ref, rtol=1e-11)
+    np.testing.assert_allclose(p_roll, p_ref, atol=1e-10)
