@@ -32,7 +32,7 @@ def main():
     n_rep = int(os.environ.get("BENCH_REP", "15"))  # 15^3 * 30 = 101,250
     dt = 0.5
     steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "40"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "5"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "3"))
 
     data = ldio.replicate(
         ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
