@@ -61,7 +61,8 @@ class NeighborConfig:
         return self.cutoff + self.skin
 
 
-Integrator = Union[None, integrate.Langevin, integrate.NoseHoover]
+Integrator = Union[None, integrate.Langevin, integrate.NoseHoover,
+                   integrate.NoseHooverNPT]
 
 
 class Simulation:

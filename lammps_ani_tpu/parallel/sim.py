@@ -10,6 +10,10 @@ host round-trips inside a rebuild interval.
 The 2-shard parity test (tests/test_parallel.py) is the equivalent of the
 reference's 2-rank MPI tests (/root/reference/tests/test_lmp_with_ase.py:
 224-232); on TPU the same process drives 8 virtual devices.
+
+Supported integrators: NVE, Langevin, Nose-Hoover NVT (psum'd chains).
+NPT (cell rescale under domain decomposition: brick geometry must track
+the box) is single-device-only for now.
 """
 
 from __future__ import annotations
