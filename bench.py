@@ -39,6 +39,7 @@ def main():
         n_rep, n_rep, n_rep)
     n_atoms = data.n_atoms
 
+    cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
     pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
                     atom_chunk=min(2048, 30 * n_rep ** 3))
     sim = lat.Simulation(
@@ -49,7 +50,7 @@ def main():
                                ghost_capacity=max(4096, n_atoms // 2),
                                rebuild_every=steps_per_chunk,
                                use_cell_list=n_rep >= 3, cell_capacity=32),
-        dt=dt, dtype=jnp.float32)
+        dt=dt, dtype=jnp.float32, cellroll=cellroll)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
                   origin=jnp.asarray(data.box_origin, jnp.float32))
     state = sim.init_state(data.positions, box, temp=300.0, seed=1,
@@ -58,18 +59,22 @@ def main():
     fn = sim._jitted_chunk(steps_per_chunk)
 
     # warmup / compile
-    state2, traj, disp, overflowed = fn(state)
+    state2, traj, disp, overflow, n_done = fn(state)
     jax.block_until_ready(state2.pos)
-    assert not bool(overflowed), "capacity overflow in bench config"
+    ovf = {k: bool(v) for k, v in jax.device_get(overflow).items()}
+    assert not any(ovf.values()), f"capacity overflow in bench config: {ovf}"
 
     t0 = time.perf_counter()
     s = state
+    total_steps = 0
     for _ in range(n_chunks):
-        s, traj, disp, overflowed = fn(s)
+        s, traj, disp, overflow, n_done = fn(s)
+        # adaptive rebuild may cut a chunk short (skin/2 reached); count
+        # the steps that actually integrated, like production run() does
+        total_steps += int(jax.device_get(n_done))
     jax.block_until_ready(s.pos)
     t1 = time.perf_counter()
-
-    total_steps = n_chunks * steps_per_chunk
+    assert total_steps > 0, "no steps completed"
     ms_per_step = (t1 - t0) * 1e3 / total_steps
     steps_per_s = 1e3 / ms_per_step
     ns_per_day = dt * 86.4 / ms_per_step

@@ -12,7 +12,8 @@ from lammps_ani_tpu.md import bias, integrate
 from lammps_ani_tpu.models import zoo
 
 PHI = (4, 6, 8, 14)  # dihedral atom indices (input order)
-data = ldio.read_lammps_data("alanine.data")
+data = ldio.read_lammps_data(
+    "/root/reference/examples/alanine-dipeptide/alanine-dipeptide.vacuum.data")
 pot = zoo.ani2x(num_models=1)
 
 def make_sim(extra_force):

@@ -222,13 +222,19 @@ class NoseHooverNPT:
         """W in (g/mol)(A/fs)^2 energy-time^2 form: (dof+3) kT pdamp^2."""
         return (3.0 * n_atoms + 3.0) * units.BOLTZ * self.temp * self.pdamp**2
 
-    def piston_half(self, bs: BarostatState, p_now, volume, ke, n_atoms, dt):
-        """Advance omega by dt/2. p_now in atm, volume in A^3, ke kcal/mol."""
+    def piston_half(self, bs: BarostatState, p_now, volume, ke, n_atoms, dt,
+                    dof=None):
+        """Advance omega by dt/2. p_now in atm, volume in A^3, ke kcal/mol.
+
+        The MTK kinetic correction uses N_f = `dof` (matching `vel_scale`'s
+        1 + 3/dof factor); using N instead over-drives the piston ~3x."""
+        if dof is None:
+            dof = 3.0 * n_atoms - 3.0
         w = self.piston_mass(n_atoms)
         # pressure term converted to kcal/mol: (P - P0) V -> energy
         g = (
             3.0 * volume * (p_now - self.press) * units.ATM2ENGVOL
-            + (3.0 / n_atoms) * 2.0 * ke
+            + (3.0 / dof) * 2.0 * ke
         ) / w
         # piston thermostat (single NH on omega) for ergodicity
         kt = units.BOLTZ * self.temp

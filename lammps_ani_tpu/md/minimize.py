@@ -53,8 +53,8 @@ def minimize(sim, state, max_steps: int = 1000, ftol: float = 1e-4,
             vel = st.vel + (0.5 * dt * units.FTM2V) * st.force \
                 / sim.masses[:, None]
             pos = st.pos + dt * vel
-            pe, force, virial = sim._forces(pos, st.box, st.nbrs, st.bins,
-                                            st.step)
+            pe, force, virial, _ = sim._forces(pos, st.box, st.nbrs,
+                                               st.bins, st.step)
             vel = vel + (0.5 * dt * units.FTM2V) * force \
                 / sim.masses[:, None]
 

@@ -135,6 +135,31 @@ class Simulation:
         self._ang_cap = None  # angular sub-list capacity (auto-derived)
         self._want_cellroll = cellroll and potential.spec.repulsion is None
         self._roll_grid = None  # ops/cell_roll.RollGrid when active
+        # Radial-channel implementation: the Pallas kernel (ops/aev_pallas)
+        # on TPU; the XLA cell-roll path elsewhere (and for f64, which the
+        # TPU vector unit doesn't support). LAT_ROLL_IMPL overrides (tests
+        # force "pallas" to exercise the kernel in interpret mode on CPU).
+        # Cell-roll implementation modes:
+        #   "xla"         — XLA roll radial channel + mirror angular
+        #   "pallas"      — Pallas radial kernel (coarse grid, shell-1)
+        #                   + mirror angular: the measured-fastest hybrid
+        #   "pallas_full" — both channels from Pallas kernels over one fine
+        #                   grid; no neighbor matrix / mirror tables at all
+        # LAT_ROLL_IMPL overrides (tests force pallas modes on CPU, where
+        # the kernels run in interpret mode).
+        import os as _os
+        env = _os.environ.get("LAT_ROLL_IMPL")
+        if env:
+            self._roll_impl = env
+        elif dtype == jnp.float32 and jax.default_backend() == "tpu":
+            self._roll_impl = "pallas"
+        else:
+            self._roll_impl = "xla"
+        self._roll_shell = 2  # radial window shells (set by _setup_grids)
+        if self._roll_impl == "pallas_full" and not (
+                auto_angular_caps or potential.spec.angular_caps):
+            # the pallas angular kernel needs composition-derived caps
+            self._roll_impl = "pallas"
         # query cutoff for the candidate structure: with the cell-roll
         # radial channel only angular candidates are needed
         self._rlist_query = nbr.rlist
@@ -157,27 +182,7 @@ class Simulation:
         pos = jnp.asarray(np.asarray(pos)[self.order], self.dtype)
         box = nbops.Box(h=jnp.asarray(box.h, self.dtype),
                         origin=jnp.asarray(box.origin, self.dtype))
-        if self._want_cellroll and self._roll_grid is None:
-            from ..ops import cell_roll as crmod
-            side = self.potential.spec.cutoff + self.nbr.ang_skin
-            probe = crmod.RollGrid.for_box(np.asarray(box.h), side, 64)
-            if probe is not None:
-                cnt = int(jax.device_get(jax.jit(
-                    lambda p, b: crmod.build_bins(
-                        probe, nbops.wrap_positions(p, b),
-                        self.species, b).count_max)(pos, box)))
-                cap = int(-(-int(cnt * 1.15 + 2) // 4) * 4)
-                self._roll_grid = crmod.RollGrid(ncells=probe.ncells,
-                                                 cap=cap)
-                self._rlist_query = (
-                    self.potential.spec.aev.angular_cutoff
-                    + self.nbr.ang_skin)
-        if self.nbr.use_cell_list and self._grid is None:
-            from ..ops import cell_list as clmod
-            self._grid = clmod.CellGrid.for_box(
-                np.asarray(box.h), self._rlist_query,
-                self.nbr.cell_capacity)
-            # None => box too small for a 3x3x3 grid; brute build instead.
+        self._setup_grids(pos, box)
         key = jax.random.PRNGKey(seed)
         if vel is not None:
             vel = jnp.asarray(np.asarray(vel)[self.order], self.dtype)
@@ -202,11 +207,14 @@ class Simulation:
         @jax.jit
         def _init_compute(pos, box):
             pos_w = nbops.wrap_positions(pos, box)
-            nlist = self._build_nlist(pos_w, box)
-            nbrs = self._mirror(nlist, pos_w, box)
             bins = self._bins(pos_w, box)
-            pe, force, virial = self._forces(pos_w, box, nbrs, bins,
-                                             jnp.zeros((), jnp.int32))
+            if self._pallas_roll:
+                nlist, nbrs = None, None
+            else:
+                nlist = self._build_nlist(pos_w, box)
+                nbrs = self._mirror(nlist, pos_w, box)
+            pe, force, virial, _ = self._forces(pos_w, box, nbrs, bins,
+                                                jnp.zeros((), jnp.int32))
             return pos_w, nlist, nbrs, bins, pe, force, virial
 
         pos_w, nlist, nbrs, bins, pe, force, virial = _init_compute(pos, box)
@@ -252,6 +260,129 @@ class Simulation:
         self.species_np = self._species_in[self.order]
         self.species = jnp.asarray(self.species_np)
         self.masses = jnp.asarray(self._masses_in[self.order], self.dtype)
+
+    # ---------- grid lifecycle ----------
+
+    def _barostat_active(self) -> bool:
+        return self.barostat is not None or isinstance(
+            self.integrator, integrate.NoseHooverNPT)
+
+    @property
+    def _skin_eff(self) -> float:
+        return min(self.nbr.skin, self.nbr.ang_skin)
+
+    @property
+    def _roll_side(self) -> float:
+        """Bin side the roll grid must keep (box-validity criterion).
+
+        pallas_full uses ONE fine grid for both channels: the angular
+        kernel reads a shell-1 window (side >= Rca + skin), the radial a
+        shell-2 window (2*side >= Rcr + skin). The radial-only pallas
+        hybrid and the XLA cell-roll channel need shell-1 radial coverage
+        (side >= Rcr + skin)."""
+        spec = self.potential.spec
+        if self._roll_impl == "pallas_full":
+            return max(spec.aev.angular_cutoff + self._skin_eff,
+                       (spec.cutoff + self._skin_eff) / 2.0)
+        if self._roll_impl == "pallas":
+            return spec.cutoff + self._skin_eff
+        return spec.cutoff + self.nbr.ang_skin
+
+    def _setup_grids(self, pos, box):
+        """(Re-)derive the cell/roll grids from the CURRENT box.
+
+        Called at init and, under a barostat, whenever `_grids_valid` says
+        the box drifted past the frozen grids' slack (the grids are static
+        geometry; NPT/Berendsen rescale box.h every step, so a grid frozen
+        at t=0 would eventually clip ghosts into wrong cells or let pairs
+        escape adjacent bins — silently wrong forces). With a barostat the
+        grids are derived with a few % slack so re-derives stay rare."""
+        box_h = np.asarray(box.h, np.float64)
+        slack = 1.06 if self._barostat_active() else 1.0
+        if self._want_cellroll:
+            from ..ops import cell_roll as crmod
+            probe = crmod.RollGrid.for_box(box_h, self._roll_side * slack,
+                                           64)
+            if probe is None:
+                self._roll_grid = None
+                self._rlist_query = self.nbr.rlist
+            else:
+                cnt = int(jax.device_get(jax.jit(
+                    lambda p, b: crmod.build_bins(
+                        probe, nbops.wrap_positions(p, b),
+                        self.species, b).count_max)(pos, box)))
+                cap = int(-(-int(cnt * 1.15 + 2) // 4) * 4)
+                self._roll_grid = crmod.RollGrid(ncells=probe.ncells,
+                                                 cap=cap)
+                self._rlist_query = (
+                    self.potential.spec.aev.angular_cutoff
+                    + self.nbr.ang_skin)
+                if self._roll_impl == "pallas":
+                    self._roll_shell = 1  # coarse grid reaches the cutoff
+                elif self._roll_impl == "pallas_full":
+                    # radial window: shell 1 if a single bin reaches the
+                    # radial cutoff + skin, else shell 2 (the fine grid)
+                    perp = self._perp_lengths(box_h)
+                    side_now = float(
+                        (perp / np.asarray(self._roll_grid.ncells)).min())
+                    spec = self.potential.spec
+                    self._roll_shell = (
+                        1 if side_now >= spec.cutoff + self._skin_eff
+                        else 2)
+                    self._rlist_query = (spec.aev.angular_cutoff
+                                         + self._skin_eff)
+        if self.nbr.use_cell_list:
+            from ..ops import cell_list as clmod
+            self._grid = clmod.CellGrid.for_box(
+                box_h, self._rlist_query * slack, self.nbr.cell_capacity)
+            # None => box too small for a 3x3x3 grid; brute build instead.
+        self._chunk_cache = {}
+
+    @staticmethod
+    def _perp_lengths(box_h) -> np.ndarray:
+        h = np.asarray(box_h, np.float64)
+        v = abs(np.dot(h[0], np.cross(h[1], h[2])))
+        return np.array([
+            v / np.linalg.norm(np.cross(h[1], h[2])),
+            v / np.linalg.norm(np.cross(h[2], h[0])),
+            v / np.linalg.norm(np.cross(h[0], h[1])),
+        ])
+
+    def _grids_valid(self, box_h) -> bool:
+        """Whether the frozen grid geometry still covers the query cutoffs
+        for the given (possibly barostat-rescaled) box."""
+        h = np.asarray(box_h, np.float64)
+        perp = self._perp_lengths(h)
+        if self._want_cellroll:
+            if self._roll_grid is None:
+                # roll disabled because the box was too small — revisit if
+                # the box grew enough for a grid
+                from ..ops import cell_roll as crmod
+                if crmod.RollGrid.for_box(h, self._roll_side, 4) is not None:
+                    return False
+            else:
+                side_now = perp / np.asarray(self._roll_grid.ncells)
+                if np.any(side_now < self._roll_side):
+                    return False
+                if (self._roll_impl == "pallas_full"
+                        and self._roll_shell == 1
+                        and np.any(side_now < self.potential.spec.cutoff
+                                   + self._skin_eff)):
+                    return False  # shell-1 radial window no longer reaches
+        if self.nbr.use_cell_list:
+            rq = self._rlist_query
+            if self._grid is None:
+                from ..ops import cell_list as clmod
+                if clmod.CellGrid.for_box(h, rq, 4) is not None:
+                    return False
+            else:
+                m = np.asarray(self._grid.margin_frac)
+                if np.any(rq / perp > m * (1 + 1e-12)):
+                    return False  # frozen ghost margin no longer covers rq
+                side = perp * (1.0 + 2.0 * m) / np.asarray(self._grid.ncells)
+                if np.any(side < rq):
+                    return False  # cells shrank below the query cutoff
+        return True
 
     # ---------- internals (traced) ----------
 
@@ -316,8 +447,14 @@ class Simulation:
             self.potential.spec.aev, dist, species_j, mask, caps) > 0
 
     def _mirror(self, nlist, pos, box):
-        """MirrorNeighbors incl. the angular sub-channel when sized."""
-        main = self._roll_grid is None  # cell-roll replaces the channel
+        """MirrorNeighbors incl. the angular sub-channel when sized.
+
+        The main mirror table may be skipped only when BOTH the radial
+        channel is served by cell-roll AND the angular sub-channel exists:
+        without the sub-channel the angular block falls back to the main
+        channel's displacement vectors, whose backward needs the mirror
+        table (a zeroed table would silently gather forces from slot 0)."""
+        main = self._roll_grid is None or self._ang_cap is None
         if self._ang_cap is not None:
             return nbr_grad.mirror_neighbors(
                 nlist, self.n_atoms, pos=pos, box=box,
@@ -346,11 +483,30 @@ class Simulation:
         from ..ops import cell_roll as crmod
         return crmod.build_bins(self._roll_grid, pos, self.species, box)
 
+    @property
+    def _pallas_roll(self) -> bool:
+        return (self._roll_grid is not None
+                and self._roll_impl == "pallas_full")
+
     def _forces(self, pos, box, nbrs, bins, step):
-        cellroll = None if bins is None else (self._roll_grid, bins)
-        pe_h, f_h, w_h = potmod.energy_forces_virial_mirror(
-            self.potential, self.species, pos, box, nbrs,
-            species_counts=self.species_counts, cellroll=cellroll)
+        """(pe, force, virial, angular-deficit) at `pos` [kcal/mol units].
+
+        Three execution paths: full-Pallas roll (both AEV channels from
+        ops/aev_pallas kernels — no neighbor matrix at all), XLA cell-roll
+        (radial from ops/cell_roll, angular from the mirror sub-list), and
+        the mirror path (the oracle)."""
+        if self._pallas_roll and bins is not None:
+            pe_h, f_h, w_h, deficit = potmod.energy_forces_virial_roll(
+                self.potential, self.species, pos, box, self._roll_grid,
+                bins, radial_shell=self._roll_shell,
+                species_counts=self.species_counts)
+        else:
+            cellroll = (None if bins is None
+                        else (self._roll_grid, bins, self._roll_impl))
+            pe_h, f_h, w_h = potmod.energy_forces_virial_mirror(
+                self.potential, self.species, pos, box, nbrs,
+                species_counts=self.species_counts, cellroll=cellroll)
+            deficit = jnp.zeros((), pos.dtype)
         c = jnp.asarray(units.HARTREE2KCALMOL, pos.dtype)
         pe, f, w = pe_h * c, f_h * c, w_h * c
         if self.extra_force is not None:
@@ -359,7 +515,7 @@ class Simulation:
             inv = jnp.asarray(self.inv_order)
             f_in = self.extra_force(pos[inv], box, step)
             f = f + f_in[jnp.asarray(self.order)]
-        return pe, f, w
+        return pe, f, w, deficit
 
     def _step(self, state: MDState) -> MDState:
         dt = jnp.asarray(self.dt, self.dtype)
@@ -375,7 +531,7 @@ class Simulation:
             ke = integrate.kinetic_energy(vel, self.masses)
             p_now = jnp.trace(integrate.pressure_tensor(
                 vel, self.masses, state.virial, box.volume)) / 3.0
-            bs = npt.piston_half(bs, p_now, box.volume, ke, n, dt)
+            bs = npt.piston_half(bs, p_now, box.volume, ke, n, dt, self.dof)
             ts, vel = npt.thermostat.half_step(
                 ts, vel, self.masses, self.dof, dt)
             vel = vel * npt.vel_scale(bs.omega, self.dof, n, dt)
@@ -395,8 +551,8 @@ class Simulation:
             pos, vel = self._rattle.project_positions(
                 pos, pos_old, vel, self.masses, box, dt)
 
-        pe, force, virial = self._forces(pos, box, state.nbrs, state.bins,
-                                         state.step)
+        pe, force, virial, deficit = self._forces(
+            pos, box, state.nbrs, state.bins, state.step)
         if isinstance(self.integrator, integrate.Langevin):
             key, sub = jax.random.split(key)
             force = force + self.integrator.force(sub, vel, self.masses, dt)
@@ -412,7 +568,7 @@ class Simulation:
             ke = integrate.kinetic_energy(vel, self.masses)
             p_now = jnp.trace(integrate.pressure_tensor(
                 vel, self.masses, virial, box.volume)) / 3.0
-            bs = npt.piston_half(bs, p_now, box.volume, ke, n, dt)
+            bs = npt.piston_half(bs, p_now, box.volume, ke, n, dt, self.dof)
         elif isinstance(self.integrator, integrate.NoseHoover):
             ts, vel = self.integrator.half_step(
                 ts, vel, self.masses, self.dof, dt)
@@ -427,21 +583,46 @@ class Simulation:
         return state.replace(
             pos=pos, vel=vel, force=force, pe=pe, virial=virial, box=box,
             step=state.step + 1, rng=key, thermostat=ts, barostat=bs,
-        )
+        ), deficit
 
     def _chunk(self, state: MDState, n_steps: int):
         pos_w = nbops.wrap_positions(state.pos, state.box)
-        nlist = self._build_nlist(pos_w, state.box)
-        nbrs = self._mirror(nlist, pos_w, state.box)
         bins = self._bins(pos_w, state.box)
+        if self._pallas_roll:
+            # full Pallas path: the bin grid IS the neighbor structure —
+            # no neighbor matrix, no mirror tables, no angular sub-list.
+            nlist, nbrs = None, None
+        else:
+            nlist = self._build_nlist(pos_w, state.box)
+            nbrs = self._mirror(nlist, pos_w, state.box)
         # NOTE: no force recompute here — wrapping/rebuilding changes the
         # neighbor bookkeeping, not the physics; the carried state.force is
         # still the force at these positions.
         state = state.replace(pos=pos_w, nlist=nlist, nbrs=nbrs, bins=bins,
                               pos_at_rebuild=pos_w)
 
-        def body(st, _):
-            st = self._step(st)
+        half_skin = jnp.asarray(self._skin_eff / 2.0, self.dtype)
+
+        def body(carry, _):
+            st, alive, n_done = carry
+            # LAMMPS `neigh_modify check yes`: if any atom has moved more
+            # than skin/2 since the rebuild, the frozen list may be stale —
+            # freeze the rest of the chunk BEFORE stepping on it; the host
+            # resumes from a fresh rebuild at this exact state.
+            disp_now = jnp.max(jnp.linalg.norm(
+                st.pos - st.pos_at_rebuild, axis=-1))
+            alive = alive & (disp_now <= half_skin)
+            new_st, deficit = self._step(st)
+            # select only the fields _step changes (the frozen neighbor
+            # structures are large and identical in both branches)
+            changed = ("pos", "vel", "force", "pe", "virial", "box",
+                       "step", "rng", "thermostat", "barostat")
+            st = st.replace(**{
+                f: jax.tree.map(lambda o, n: jnp.where(alive, n, o),
+                                getattr(st, f), getattr(new_st, f))
+                for f in changed})
+            deficit = jnp.where(alive, deficit, 0.0)
+            n_done = n_done + alive.astype(jnp.int32)
             ke = integrate.kinetic_energy(st.vel, self.masses)
             scalars = {
                 "pe": st.pe,
@@ -453,17 +634,33 @@ class Simulation:
                 "density": jnp.sum(self.masses) / units.AVOGADRO_VOL
                 / st.box.volume,
             }
-            return st, scalars
+            return (st, alive, n_done), (scalars, deficit)
 
-        state, traj = jax.lax.scan(body, state, length=n_steps)
-        # max displacement since rebuild, for skin-violation detection
+        carry0 = (state, jnp.ones((), bool), jnp.zeros((), jnp.int32))
+        (state, _, n_done), (traj, deficits) = jax.lax.scan(
+            body, carry0, length=n_steps)
+        # max displacement since rebuild (diagnostics; staleness is now
+        # prevented by the in-scan check, not by a post-hoc error)
         disp = jnp.max(jnp.linalg.norm(state.pos - state.pos_at_rebuild,
                                        axis=-1))
-        overflowed = state.nlist.overflowed | ~nbrs.ok | \
-            self._angular_overflow(pos_w, state.box, nlist)
-        if bins is not None:
-            overflowed = overflowed | (bins.count_max > self._roll_grid.cap)
-        return state, traj, disp, overflowed
+        # Structured overflow codes for THIS chunk's rebuild (the input
+        # state's flags are stale — they describe the previous rebuild), so
+        # run() can grow the matching capacity instead of guessing.
+        false = jnp.zeros((), bool)
+        overflow = {
+            "ghost": false if nlist is None
+            else nlist.ghosts.count > nlist.ghosts.src.shape[0],
+            "k_max": false if nlist is None
+            else nlist.max_count > nlist.idx.shape[1],
+            "mirror": false if nbrs is None else ~nbrs.ok,
+            # pallas path: per-step in-kernel deficit (stronger than the
+            # rebuild-time check of the mirror path)
+            "angular": jnp.max(deficits) > 0 if self._pallas_roll
+            else self._angular_overflow(pos_w, state.box, nlist),
+            "roll": (false if bins is None
+                     else bins.count_max > self._roll_grid.cap),
+        }
+        return state, traj, disp, overflow, n_done
 
     def _jitted_chunk(self, n_steps: int):
         if n_steps not in self._chunk_cache:
@@ -484,46 +681,66 @@ class Simulation:
         rows = []
         chunk = self.nbr.rebuild_every
         done = 0
-        fn = None
         recap_attempts = 0
         while done < n_steps:
+            if self._barostat_active() and not self._grids_valid(
+                    jax.device_get(state.box.h)):
+                # box rescaled past the grids' slack: re-derive (recompiles)
+                self._setup_grids(state.pos, state.box)
             take = min(chunk, n_steps - done)
             fn = self._jitted_chunk(take)
-            new_state, traj, disp, overflowed = fn(state)
-            if bool(overflowed):
-                if bool(state.nlist.overflowed):
-                    if self._auto_angular_caps and int(
-                            state.nlist.ghosts.count) <=                             state.nlist.ghosts.src.shape[0]:
-                        # neighbor degree outgrew the derived k_max: grow it
-                        recap_attempts += 1
-                        if recap_attempts > 8:
-                            raise RuntimeError("k_max keeps overflowing")
-                        self._derive_angular_caps(state.pos, state.box)
-                        continue
-                    raise RuntimeError(
-                        "neighbor/ghost capacity overflow: increase "
-                        "NeighborConfig.k_max / ghost_capacity")
-                # angular caps outgrown: re-derive from current geometry and
-                # recompile (rare; equivalent of the reference's buffer
-                # regrow on neighbor-list rebuild)
+            new_state, traj, disp, overflow, n_done = fn(state)
+            ovf = {k: bool(v) for k, v in jax.device_get(overflow).items()}
+            if any(ovf.values()):
+                # Grow exactly the capacities that overflowed and re-run the
+                # chunk from the same (discarded-chunk-input) state — the
+                # reference's 1.5x buffer regrow, pair_ani.cpp:119-127.
                 recap_attempts += 1
                 if recap_attempts > 8:
-                    raise RuntimeError("angular caps keep overflowing")
-                if self._auto_angular_caps:
-                    self._derive_angular_caps(state.pos, state.box)
-                    continue
-                raise RuntimeError(
-                    "angular_caps overflow: raise ANISpec.angular_caps")
-            skin_eff = min(self.nbr.skin, self.nbr.ang_skin)
-            if float(disp) > skin_eff / 2:
+                    raise RuntimeError(
+                        f"capacities keep overflowing after 8 regrows: {ovf}")
+                if ovf["ghost"]:
+                    self.nbr = dataclasses.replace(
+                        self.nbr,
+                        ghost_capacity=int(self.nbr.ghost_capacity * 1.5))
+                    self._chunk_cache = {}
+                if ovf["roll"]:
+                    from ..ops import cell_roll as crmod
+                    self._roll_grid = crmod.RollGrid(
+                        ncells=self._roll_grid.ncells,
+                        cap=-(-int(self._roll_grid.cap * 3 // 2) // 4) * 4)
+                    self._chunk_cache = {}
+                if ovf["k_max"] or ovf["angular"] or ovf["mirror"]:
+                    if self._auto_angular_caps:
+                        # re-measure degrees at current geometry; grows both
+                        # k_max and the per-species angular caps
+                        self._derive_angular_caps(state.pos, state.box)
+                    elif ovf["k_max"]:
+                        self._k_max = -(-int(self._k_max * 3 // 2) // 8) * 8
+                        self._chunk_cache = {}
+                    else:
+                        raise RuntimeError(
+                            "angular_caps overflow: raise "
+                            "ANISpec.angular_caps or enable "
+                            "auto_angular_caps")
+                continue
+            n_done = int(jax.device_get(n_done))
+            if n_done == 0:
+                # the very first step after a rebuild already violated the
+                # half-skin bound: a single step moves atoms further than
+                # the skin covers — no rebuild cadence can fix that
                 raise RuntimeError(
                     f"atoms moved {float(disp):.3f} A > skin/2 "
-                    f"({skin_eff / 2:.2f}) between rebuilds: lower "
-                    "rebuild_every or raise skin/ang_skin")
+                    f"({self._skin_eff / 2:.2f}) in ONE step: raise "
+                    "skin/ang_skin or lower dt")
+            # n_done < take: a mid-chunk half-skin violation froze the
+            # remaining steps (LAMMPS `neigh_modify check yes` semantics);
+            # loop around — the next chunk starts with a fresh rebuild at
+            # exactly the accepted state.
             state = new_state
             if thermo_every:
                 traj_np = jax.tree.map(np.asarray, traj)
-                for k in range(take):
+                for k in range(n_done):
                     step = done + k + 1
                     if step % thermo_every == 0 or step == n_steps:
                         row = {f: float(traj_np[f][k]) for f in traj_np}
@@ -532,7 +749,7 @@ class Simulation:
                         rows.append(row)
                         if thermo_callback:
                             thermo_callback(row)
-            done += take
+            done += n_done
         return state, rows
 
     def positions_input_order(self, state: MDState) -> np.ndarray:

@@ -138,11 +138,19 @@ def atomic_energies_mirror(
     if cellroll is not None:
         assert pot.spec.repulsion is None, (
             "cell-roll channel has no pair distances for repulsion")
-        from ..ops import cell_roll as crmod
+        grid, bins = cellroll[0], cellroll[1]
+        impl = cellroll[2] if len(cellroll) > 2 else "xla"
+        if impl == "pallas":
+            from ..ops import aev_pallas as apmod
 
-        grid, bins = cellroll
-        radial_override = crmod.radial_aev_cellroll(
-            pot.spec.aev, grid, bins, pos, box)
+            radial_override = apmod.radial_aev_pallas(
+                pot.spec.aev, grid, bins, pos, box,
+                species_counts=species_counts)
+        else:
+            from ..ops import cell_roll as crmod
+
+            radial_override = crmod.radial_aev_cellroll(
+                pot.spec.aev, grid, bins, pos, box)
         radial_override = jnp.where(local_mask[:, None], radial_override,
                                     0.0)
     else:
@@ -293,6 +301,76 @@ def energy_forces_virial(
     e, (deps, dpos) = jax.value_and_grad(deformed_energy, argnums=(0, 1))(eps0, pos)
     virial = -0.5 * (deps + deps.T)
     return e, -dpos, virial
+
+
+def atomic_energies_roll(
+    pot: ANIPotential,
+    species: jax.Array,
+    pos: jax.Array,
+    box: nbops.Box,
+    grid,  # ops.cell_roll.RollGrid (the shared fine grid)
+    bins,  # ops.cell_roll.RollBins (frozen per rebuild)
+    radial_shell: int = 2,
+    species_counts: Optional[Sequence[int]] = None,
+):
+    """([n] energies, angular-cap deficit) via the full Pallas AEV path.
+
+    The production single-device TPU path: both AEV channels come from the
+    gather-free Pallas kernels (ops/aev_pallas.py) over one fine bin grid;
+    no neighbor matrix, no mirror tables, no frozen angular sub-list.
+    Requires spec.angular_caps (composition-derived) and no repulsion
+    term. `deficit` > 0 means an angular cap truncated real neighbors
+    this evaluation — treat like any capacity overflow."""
+    from ..ops import aev_pallas as apmod
+
+    spec = pot.spec
+    assert spec.repulsion is None, (
+        "pallas roll path has no pair-distance channel for repulsion")
+    assert spec.angular_caps is not None, (
+        "pallas roll path needs composition-derived angular_caps")
+    radial = apmod.radial_aev_pallas(
+        spec.aev, grid, bins, pos, box, species_counts=species_counts,
+        shell=radial_shell)
+    angular, deficit = apmod.angular_aev_pallas(
+        spec.aev, grid, bins, pos, box, spec.angular_caps,
+        species_counts=species_counts)
+    local_mask = species >= 0
+    aev = jnp.concatenate([radial, angular], axis=1)
+    aev = jnp.where(local_mask[:, None], aev, 0.0)
+
+    with jax.named_scope("nn_forward"):
+        if species_counts is not None:
+            atomic = netmod.atomic_energies_sorted(
+                spec.net, pot.params, species_counts, aev)
+        else:
+            atomic = netmod.atomic_energies_masked(
+                spec.net, pot.params, species, aev)
+        e = netmod.ensemble_energies(atomic)
+    e = e + spec.shifter(species, dtype=e.dtype)
+    return jnp.where(local_mask, e, 0.0), deficit
+
+
+def energy_forces_virial_roll(
+    pot, species, pos, box, grid, bins, radial_shell=2, species_counts=None,
+):
+    """(E, F, W, deficit) via the full Pallas AEV path. Virial from the
+    strain-deformation trick; the kernels' custom VJPs supply exact dpos
+    and box cotangents (same contract as the mirror path)."""
+
+    def deformed_energy(eps, pos_):
+        deform = jnp.eye(3, dtype=pos_.dtype) + eps
+        pos_d = pos_ @ deform
+        box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+        e, deficit = atomic_energies_roll(
+            pot, species, pos_d, box_d, grid, bins, radial_shell,
+            species_counts)
+        return jnp.sum(e), deficit
+
+    eps0 = jnp.zeros((3, 3), pos.dtype)
+    (e, deficit), (deps, dpos) = jax.value_and_grad(
+        deformed_energy, argnums=(0, 1), has_aux=True)(eps0, pos)
+    virial = -0.5 * (deps + deps.T)
+    return e, -dpos, virial, deficit
 
 
 def energy_forces_virial_mirror(

@@ -73,13 +73,20 @@ class RollGrid:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class RollBins:
-    """Rebuild-frozen atom->bin assignment."""
+    """Rebuild-frozen atom->bin assignment.
+
+    `inv` is the inverse map (grid slot -> atom row, n for empty slots):
+    with it, BOTH layout directions are row gathers — flat->grid is
+    `padded_x[inv]`, grid->flat is `g[cell, slot]` — so no per-step XLA
+    scatter exists anywhere (TPU scatters serialize; a single 100k-row
+    scatter costs ~40 ms, measured)."""
 
     cell: jax.Array  # [n] int32 flat bin id
     slot: jax.Array  # [n] int32 slot within bin
     species_grid: jax.Array  # [total, cap] int32, -1 empty
     mask_grid: jax.Array  # [total, cap] bool
     count_max: jax.Array  # [] int32 (overflow if > cap)
+    inv: jax.Array | None = None  # [total, cap] int32 atom row (n = empty)
 
 
 _OFFSETS = [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
@@ -109,9 +116,14 @@ def build_bins(grid: RollGrid, pos, species, box) -> RollBins:
         jnp.where(ok, cell, grid.total), jnp.where(ok, slot, 0)
     ].set(species, mode="drop")
     mask_grid = species_grid >= 0
+    flat = jnp.where(ok, cell * grid.cap + jnp.minimum(slot, grid.cap - 1),
+                     grid.total * grid.cap)
+    inv = jnp.full((grid.total * grid.cap,), n, jnp.int32)
+    inv = inv.at[flat].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     return RollBins(cell=cell, slot=jnp.minimum(slot, grid.cap - 1),
                     species_grid=species_grid, mask_grid=mask_grid,
-                    count_max=jnp.max(counts) + 1)
+                    count_max=jnp.max(counts) + 1,
+                    inv=inv.reshape(grid.total, grid.cap))
 
 
 def scatter_to_grid(grid: RollGrid, bins: RollBins, x, fill=0.0):

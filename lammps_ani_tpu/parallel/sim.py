@@ -11,9 +11,13 @@ The 2-shard parity test (tests/test_parallel.py) is the equivalent of the
 reference's 2-rank MPI tests (/root/reference/tests/test_lmp_with_ase.py:
 224-232); on TPU the same process drives 8 virtual devices.
 
-Supported integrators: NVE, Langevin, Nose-Hoover NVT (psum'd chains).
-NPT (cell rescale under domain decomposition: brick geometry must track
-the box) is single-device-only for now.
+Supported integrators: NVE, Langevin, Nose-Hoover NVT (psum'd chains),
+and Nose-Hoover NPT (reference analog: `fix npt` on any rank count,
+/root/reference/examples/water-NPT/in.lammps:59-61): the piston state is
+replicated and driven by the psum'd global pressure; the box is part of
+the per-step carry, and brick ownership is fractional so the isotropic
+rescale preserves the decomposition (run() re-checks brick extent >=
+rlist against the current box each chunk).
 """
 
 from __future__ import annotations
@@ -54,6 +58,7 @@ class ShardedState:
     pe: jax.Array  # [] replicated, kcal/mol
     virial: jax.Array  # [3,3] replicated, kcal/mol
     thermostat: object = None  # replicated
+    barostat: object = None  # replicated (NoseHooverNPT piston)
 
     def replace(self, **kw) -> "ShardedState":
         return dataclasses.replace(self, **kw)
@@ -76,8 +81,11 @@ class DomainSimulation:
         integrator=None,
         dtype=jnp.float32,
         devices=None,
+        auto_angular_caps: bool = True,
     ):
         self.potential = potential
+        self._auto_angular_caps = (
+            auto_angular_caps and potential.spec.angular_caps is None)
         self.dspec = dspec
         self.cutoff = float(cutoff if cutoff is not None
                             else potential.spec.cutoff)
@@ -130,6 +138,31 @@ class DomainSimulation:
 
         pos = np.asarray(jax.device_get(nbops.wrap_positions(
             jnp.asarray(pos, self.dtype), box)))
+        if self._auto_angular_caps and n <= 50_000:
+            # composition-specialize the angular AEV (the single-device
+            # engine's _derive_angular_caps; brute measure is O(n^2), so
+            # large systems keep the generic path until a cheaper measure
+            # lands). Same static caps on every shard.
+            spec = self.potential.spec
+            p_j = jnp.asarray(pos, self.dtype)
+            sp_j = jnp.asarray(species)
+            ghosts = nbops.build_ghosts(
+                p_j, box, spec.aev.angular_cutoff, max(1024, n),
+                nbops.image_shifts(1))
+            nl = nbops.build_neighbor_matrix_brute(
+                p_j, box, spec.aev.angular_cutoff, 48, ghosts)
+            sp_ext = nbops.extended_species(sp_j, nl.ghosts)
+            sp_nbr = jnp.where(nl.mask, sp_ext[nl.idx], -1)
+            caps = []
+            for s in range(spec.aev.num_species):
+                deg = int(jax.device_get(jnp.max(jnp.sum(
+                    sp_nbr == s, axis=1))))
+                caps.append(0 if deg == 0
+                            else int(-(-int(deg * 1.3 + 2) // 4) * 4))
+            self.potential = potmod.ANIPotential(
+                spec=dataclasses.replace(spec, angular_caps=tuple(caps)),
+                params=self.potential.params)
+            self._chunk_cache = {}
         if vel is None:
             if temp is not None:
                 vel = np.asarray(jax.device_get(integrate.create_velocities(
@@ -188,9 +221,15 @@ class DomainSimulation:
             rng=jax.device_put(jax.random.PRNGKey(seed), rep),
             pe=dev(0.0, self.dtype, rep),
             virial=dev(np.zeros((3, 3)), self.dtype, rep),
-            thermostat=(self.integrator.init(self.dtype)
-                        if isinstance(self.integrator, integrate.NoseHoover)
-                        else None),
+            thermostat=(
+                self.integrator.thermostat.init(self.dtype)
+                if isinstance(self.integrator, integrate.NoseHooverNPT)
+                else self.integrator.init(self.dtype)
+                if isinstance(self.integrator, integrate.NoseHoover)
+                else None),
+            barostat=(self.integrator.init(self.dtype)
+                      if isinstance(self.integrator,
+                                    integrate.NoseHooverNPT) else None),
         )
         return state
 
@@ -248,14 +287,36 @@ class DomainSimulation:
         idx, mask, max_deg = domain.build_neighbor_matrix_ext(
             pos, valid, pos_ext0, plan.ext_valid(valid), self.rlist,
             dspec.k_max)
+        ang_overflow = jnp.zeros((), bool)
+        caps = pot.spec.angular_caps
+        if caps is not None:
+            # blocked angular path: rebuild-time check that the static
+            # per-species caps cover this shard's degrees (single-device
+            # analog: Simulation._angular_overflow)
+            from ..models import aev as aevmod
+            sp_ext = plan.ext_species(species)
+            pj = pos_ext0[idx]
+            d = jnp.linalg.norm(
+                jnp.where(mask[..., None], pos[:, None, :] - pj, 1.0),
+                axis=-1)
+            d = jnp.where(mask, d, 1e6)
+            sp_j = jnp.where(mask, sp_ext[idx], -1)
+            ang_overflow = aevmod.angular_cap_deficit(
+                pot.spec.aev, d, sp_j, mask & (sp_j >= 0), caps) > 0
         overflow = lax.pmax(
-            (mig_overflow | plan.overflow | (max_deg > dspec.k_max))
-            .astype(jnp.int32), AXIS_NAMES)
+            (mig_overflow | plan.overflow | (max_deg > dspec.k_max)
+             | ang_overflow).astype(jnp.int32), AXIS_NAMES)
 
-        pe0, force, virial0 = self._forces_shard(
+        # recompute forces at rebuild: migration permuted atom rows across
+        # shards, so the carried force/virial rows are stale (same values,
+        # new layout)
+        pe0, force, virial_in, = self._forces_shard(
             pot, pos, box, species, valid, plan, idx, mask)
         pos_rebuild = pos
 
+        npt = (self.integrator
+               if isinstance(self.integrator, integrate.NoseHooverNPT)
+               else None)
         nh = (self.integrator if isinstance(self.integrator,
                                             integrate.NoseHoover) else None)
         lang = (self.integrator if isinstance(self.integrator,
@@ -263,13 +324,35 @@ class DomainSimulation:
         dt = jnp.asarray(self.dt, self.dtype)
         shard_id = _flat_shard_index(dspec.mesh_shape)
 
+        def global_pressure(vel, virial, box):
+            kin = units.MVV2E * lax.psum(
+                jnp.einsum("i,ia,ib->ab",
+                           jnp.where(valid, mass, 0.0), vel, vel),
+                AXIS_NAMES)
+            return jnp.trace((kin + virial) / box.volume * units.NKTV2P) \
+                / 3.0
+
         def body(carry, _):
-            pos, vel, force, ts, key, step = carry
-            if nh is not None:
+            pos, vel, force, virial, ts, bs, box, key, step = carry
+            if npt is not None:
+                ke = lax.psum(integrate.kinetic_energy(vel, mass, valid),
+                              AXIS_NAMES)
+                p_now = global_pressure(vel, virial, box)
+                bs = npt.piston_half(bs, p_now, box.volume, ke,
+                                     self.n_global, dt, self.dof)
+                ts, vel = npt.thermostat.half_step(
+                    ts, vel, mass, self.dof, dt, ke2=2.0 * ke)
+                vel = vel * npt.vel_scale(bs.omega, self.dof,
+                                          self.n_global, dt)
+            elif nh is not None:
                 ke2 = 2.0 * lax.psum(
                     integrate.kinetic_energy(vel, mass, valid), AXIS_NAMES)
                 ts, vel = nh.half_step(ts, vel, mass, self.dof, dt, ke2=ke2)
             vel = integrate.nve_halfkick(vel, force, mass, dt)
+            if npt is not None:
+                s = npt.box_scale(bs.omega, dt)
+                box = integrate.rescale_box(box, s)
+                pos = box.origin + (pos - box.origin) * s
             pos = integrate.nve_drift(pos, vel, dt)
             pos = jnp.where(valid[:, None], pos, pos_rebuild)
 
@@ -281,7 +364,19 @@ class DomainSimulation:
                 f_l = lang.force(sub, vel, mass, dt)
                 force = force + jnp.where(valid[:, None], f_l, 0.0)
             vel = integrate.nve_halfkick(vel, force, mass, dt)
-            if nh is not None:
+            if npt is not None:
+                vel = vel * npt.vel_scale(bs.omega, self.dof,
+                                          self.n_global, dt)
+                ke = lax.psum(integrate.kinetic_energy(vel, mass, valid),
+                              AXIS_NAMES)
+                ts, vel = npt.thermostat.half_step(
+                    ts, vel, mass, self.dof, dt, ke2=2.0 * ke)
+                ke = lax.psum(integrate.kinetic_energy(vel, mass, valid),
+                              AXIS_NAMES)
+                p_now = global_pressure(vel, virial, box)
+                bs = npt.piston_half(bs, p_now, box.volume, ke,
+                                     self.n_global, dt, self.dof)
+            elif nh is not None:
                 ke2 = 2.0 * lax.psum(
                     integrate.kinetic_energy(vel, mass, valid), AXIS_NAMES)
                 ts, vel = nh.half_step(ts, vel, mass, self.dof, dt, ke2=ke2)
@@ -293,22 +388,19 @@ class DomainSimulation:
                 "pe": pe,
                 "ke": ke,
                 "temp": 2.0 * ke / (self.dof * units.BOLTZ),
-                "press": jnp.trace(
-                    (units.MVV2E * lax.psum(
-                        jnp.einsum("i,ia,ib->ab",
-                                   jnp.where(valid, mass, 0.0), vel, vel),
-                        AXIS_NAMES) + virial)
-                    / box.volume * units.NKTV2P) / 3.0,
+                "press": global_pressure(vel, virial, box),
                 "vol": box.volume,
                 "density": lax.psum(jnp.sum(jnp.where(valid, mass, 0.0)),
                                     AXIS_NAMES)
                 / units.AVOGADRO_VOL / box.volume,
             }
-            return (pos, vel, force, ts, key, step + 1), (scalars, virial)
+            carry = (pos, vel, force, virial, ts, bs, box, key, step + 1)
+            return carry, (scalars, virial, box.h)
 
-        carry0 = (pos, vel, force, state.thermostat, state.rng, state.step)
-        (pos, vel, force, ts, key, step), (traj, virials) = lax.scan(
-            body, carry0, length=n_steps)
+        carry0 = (pos, vel, force, virial_in, state.thermostat,
+                  state.barostat, box, state.rng, state.step)
+        ((pos, vel, force, virial, ts, bs, box, key, step),
+         (traj, virials, _)) = lax.scan(body, carry0, length=n_steps)
 
         disp = lax.pmax(
             jnp.max(jnp.linalg.norm(
@@ -317,21 +409,28 @@ class DomainSimulation:
         new_state = ShardedState(
             pos=pos, vel=vel, force=force, species=species, mass=mass,
             gid=gid, box=box, step=step, rng=key,
-            pe=traj["pe"][-1], virial=virials[-1], thermostat=ts)
+            pe=traj["pe"][-1], virial=virials[-1], thermostat=ts,
+            barostat=bs)
         return new_state, traj, disp, overflow
 
     def _jitted_chunk(self, n_steps: int):
         if n_steps not in self._chunk_cache:
             dspec = self.dspec
             spec_atoms = P(AXIS_NAMES)
+            ts_spec = integrate.ThermostatState(eta=P(), eta_dot=P())
+            is_npt = isinstance(self.integrator, integrate.NoseHooverNPT)
             state_specs = ShardedState(
                 pos=spec_atoms, vel=spec_atoms, force=spec_atoms,
                 species=spec_atoms, mass=spec_atoms, gid=spec_atoms,
                 box=nbops.Box(h=P(), origin=P()), step=P(), rng=P(),
                 pe=P(), virial=P(),
-                thermostat=(integrate.ThermostatState(eta=P(), eta_dot=P())
-                            if isinstance(self.integrator,
-                                          integrate.NoseHoover) else None),
+                thermostat=(ts_spec if is_npt or isinstance(
+                    self.integrator, integrate.NoseHoover) else None),
+                barostat=(integrate.BarostatState(
+                    omega=P(),
+                    omega_chain=integrate.ThermostatState(
+                        eta=P(), eta_dot=P()))
+                    if is_npt else None),
             )
             traj_spec = {k: P() for k in ("pe", "ke", "temp", "press",
                                           "vol", "density")}
@@ -365,6 +464,14 @@ class DomainSimulation:
                     "atoms moved more than skin/2 between rebuilds; lower "
                     "rebuild_every or raise skin")
             state = new_state
+            if isinstance(self.integrator, integrate.NoseHooverNPT):
+                # barostat shrank the box: bricks must still cover rlist
+                perp = self._perp_np(jax.device_get(state.box.h))
+                extents = perp / np.asarray(self.dspec.mesh_shape)
+                if (extents < self.rlist).any():
+                    raise RuntimeError(
+                        f"NPT shrank brick extents to {extents} A < rlist "
+                        f"{self.rlist:.2f} A; use fewer shards")
             if thermo_every:
                 traj_np = jax.tree.map(np.asarray, traj)
                 for k in range(take):
@@ -378,6 +485,16 @@ class DomainSimulation:
                             thermo_callback(row)
             done += take
         return state, rows
+
+    @staticmethod
+    def _perp_np(box_h) -> np.ndarray:
+        h = np.asarray(box_h, np.float64)
+        v = abs(np.dot(h[0], np.cross(h[1], h[2])))
+        return np.array([
+            v / np.linalg.norm(np.cross(h[1], h[2])),
+            v / np.linalg.norm(np.cross(h[2], h[0])),
+            v / np.linalg.norm(np.cross(h[0], h[1])),
+        ])
 
     def save_restart(self, path, state: ShardedState):
         """Full-state checkpoint of a sharded run (io/restart-compatible
@@ -398,6 +515,13 @@ class DomainSimulation:
                 jax.device_get(state.thermostat.eta))
             arrays["ts_eta_dot"] = np.asarray(
                 jax.device_get(state.thermostat.eta_dot))
+        if state.barostat is not None:
+            arrays["bs_omega"] = np.asarray(
+                jax.device_get(state.barostat.omega))
+            arrays["bs_eta"] = np.asarray(
+                jax.device_get(state.barostat.omega_chain.eta))
+            arrays["bs_eta_dot"] = np.asarray(
+                jax.device_get(state.barostat.omega_chain.eta_dot))
         meta = {"n_atoms": self.n_global, "dt": self.dt}
         arrays["__meta__"] = np.frombuffer(
             json.dumps(meta).encode(), np.uint8)
@@ -419,8 +543,16 @@ class DomainSimulation:
                 ts = ThermostatState(
                     eta=jnp.asarray(z["ts_eta"], self.dtype),
                     eta_dot=jnp.asarray(z["ts_eta_dot"], self.dtype))
+            bs = state.barostat
+            if "bs_omega" in z and bs is not None:
+                bs = integrate.BarostatState(
+                    omega=jnp.asarray(z["bs_omega"], self.dtype),
+                    omega_chain=ThermostatState(
+                        eta=jnp.asarray(z["bs_eta"], self.dtype),
+                        eta_dot=jnp.asarray(z["bs_eta_dot"], self.dtype)))
             state = state.replace(
-                step=jnp.asarray(int(z["step"]), jnp.int32), thermostat=ts)
+                step=jnp.asarray(int(z["step"]), jnp.int32), thermostat=ts,
+                barostat=bs)
         return state
 
     def gather(self, state: ShardedState, field: str) -> np.ndarray:

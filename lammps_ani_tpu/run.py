@@ -156,10 +156,16 @@ def main(argv=None):
     steps = cfg["steps"]
     done = 0
     t0 = time.perf_counter()
-    interval = max(cfg["dump_every"] if writer else steps,
-                   cfg["restart_every"] or steps, 1)
+    # Host-side chunking must stop at every active output boundary: take
+    # steps up to the NEAREST next dump/restart multiple (not the max of
+    # the cadences, which silently skips frames between boundaries).
+    cadences = [c for c in (cfg["dump_every"] if writer else 0,
+                            cfg["restart_every"] if cfg["restart"] else 0)
+                if c]
     while done < steps:
-        take = min(interval, steps - done)
+        nxt = min((done // c + 1) * c for c in cadences) if cadences \
+            else steps
+        take = min(nxt, steps) - done
         state, _ = sim.run(state, take, thermo_every=cfg["thermo_every"],
                            thermo_callback=on_thermo)
         done += take

@@ -121,3 +121,105 @@ def ref_atomic_energies(net_params, spec_net, species, aev):
                     spec_net.celu_alpha)
         out[i] = e.mean()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Independent dynamics oracle (the role ASE VelocityVerlet plays for the
+# reference, /root/reference/tests/test_lmp_with_ase.py:70-111: the
+# integrator is written independently; the force field is supplied as a
+# black-box callable)
+# ---------------------------------------------------------------------------
+
+_FTM2V = 1.0 / (48.88821291 * 48.88821291)  # LAMMPS `real` units
+_MVV2E = 48.88821291 * 48.88821291
+_BOLTZ = 0.0019872067
+_NKTV2P = 68568.415
+
+
+def ref_wrap(pos, box_h, origin):
+    """Wrap into the primary (triclinic) cell by back-substitution."""
+    h = np.asarray(box_h, np.float64)
+    r = np.asarray(pos, np.float64) - origin
+    f2 = r[:, 2] / h[2, 2]
+    f1 = (r[:, 1] - f2 * h[2, 1]) / h[1, 1]
+    f0 = (r[:, 0] - f1 * h[1, 0] - f2 * h[2, 0]) / h[0, 0]
+    frac = np.stack([f0, f1, f2], 1)
+    frac -= np.floor(frac)
+    return origin + frac @ h
+
+
+def ref_velocity_verlet(pos, vel, masses, force_fn, dt, n_steps,
+                        box_h=None, origin=None, wrap_every=1,
+                        nh=None, dof=None):
+    """Naive velocity-Verlet (LAMMPS fix nve semantics), plain numpy.
+
+    force_fn(pos) -> (pe [kcal/mol], force [n,3] kcal/mol/A, virial [3,3]).
+    With `nh` (dict: temp, tdamp, chain) a Nose-Hoover chain thermostat
+    brackets the step (fix nvt). Returns a list of per-step frames:
+    dict(pos, vel, force, pe, ke, temp, press).
+    """
+    pos = np.array(pos, np.float64)
+    vel = np.array(vel, np.float64)
+    masses = np.asarray(masses, np.float64)
+    n = len(masses)
+    if dof is None:
+        dof = 3 * n - 3
+    pe, force, virial = force_fn(pos)
+    eta_dot = np.zeros(nh["chain"]) if nh else None
+
+    def nh_half(vel, eta_dot):
+        """Martyna-Tuckerman NH-chain half step (independent derivation):
+        quarter-kicks tail->head, velocity scale, quarter-kicks head->tail
+        with the post-scale kinetic energy."""
+        kt = _BOLTZ * nh["temp"]
+        q = np.full(nh["chain"], kt * nh["tdamp"] ** 2)
+        q[0] = dof * kt * nh["tdamp"] ** 2
+        dts = dt / 2.0
+        ke2 = _MVV2E * float(np.sum(masses[:, None] * vel * vel))
+        g = np.zeros(nh["chain"])
+        g[0] = (ke2 - dof * kt) / q[0]
+        for k in range(1, nh["chain"]):
+            g[k] = (q[k - 1] * eta_dot[k - 1] ** 2 - kt) / q[k]
+        for k in range(nh["chain"] - 1, -1, -1):
+            if k == nh["chain"] - 1:
+                eta_dot[k] += 0.25 * dts * g[k]
+            else:
+                f = math.exp(-0.125 * dts * eta_dot[k + 1])
+                eta_dot[k] = (eta_dot[k] * f + 0.25 * dts * g[k]) * f
+        s = math.exp(-0.5 * dts * eta_dot[0])
+        vel = vel * s
+        ke2 = ke2 * s * s
+        g[0] = (ke2 - dof * kt) / q[0]
+        for k in range(nh["chain"]):
+            if k == nh["chain"] - 1:
+                gk = (q[k - 1] * eta_dot[k - 1] ** 2 - kt) / q[k] \
+                    if k > 0 else g[0]
+                eta_dot[k] += 0.25 * dts * gk
+            else:
+                f = math.exp(-0.125 * dts * eta_dot[k + 1])
+                gk = g[0] if k == 0 else \
+                    (q[k - 1] * eta_dot[k - 1] ** 2 - kt) / q[k]
+                eta_dot[k] = (eta_dot[k] * f + 0.25 * dts * gk) * f
+        return vel, eta_dot
+
+    frames = []
+    for step in range(n_steps):
+        if box_h is not None and step % wrap_every == 0:
+            pos = ref_wrap(pos, box_h, origin)
+        if nh:
+            vel, eta_dot = nh_half(vel, eta_dot)
+        vel = vel + (0.5 * dt * _FTM2V) * force / masses[:, None]
+        pos = pos + dt * vel
+        pe, force, virial = force_fn(pos)
+        vel = vel + (0.5 * dt * _FTM2V) * force / masses[:, None]
+        if nh:
+            vel, eta_dot = nh_half(vel, eta_dot)
+        ke = 0.5 * _MVV2E * float(np.sum(masses[:, None] * vel * vel))
+        vol = float(np.linalg.det(np.asarray(box_h, np.float64))) \
+            if box_h is not None else 1.0
+        kin = _MVV2E * np.einsum("i,ia,ib->ab", masses, vel, vel)
+        press = float(np.trace(kin + virial) / 3.0 / vol * _NKTV2P)
+        frames.append(dict(pos=pos.copy(), vel=vel.copy(),
+                           force=np.array(force), pe=float(pe), ke=ke,
+                           temp=2.0 * ke / (dof * _BOLTZ), press=press))
+    return frames

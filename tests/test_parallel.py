@@ -125,6 +125,32 @@ def test_sharded_nose_hoover_runs():
     assert np.isfinite(rows[-1]["temp"])
 
 
+def test_sharded_npt_matches_single_device():
+    """Nose-Hoover NPT under domain decomposition (reference: `fix npt` on
+    any rank count, /root/reference/examples/water-NPT/in.lammps:59-61):
+    replicated piston driven by the psum'd pressure, box in the step
+    carry. Trajectory + box must match the single-device engine."""
+    data = _water_system()
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    npt = integrate.NoseHooverNPT(temp=300.0, tdamp=50.0, press=1.0,
+                                  pdamp=500.0)
+
+    sim, st = _single_device_reference(data, pot, dt=0.2, n_steps=4,
+                                       integrator=npt)
+    dsim, dst = _domain_sim(data, pot, (2, 2, 1), dt=0.2, integrator=npt)
+    dst, rows = dsim.run(dst, 4, thermo_every=2)
+
+    np.testing.assert_allclose(np.asarray(dst.box.h),
+                               np.asarray(st.box.h), rtol=1e-12)
+    np.testing.assert_allclose(dsim.gather(dst, "pos"),
+                               sim.positions_input_order(st), atol=1e-9)
+    np.testing.assert_allclose(dsim.gather(dst, "vel"),
+                               sim.velocities_input_order(st), atol=1e-10)
+    np.testing.assert_allclose(float(dst.barostat.omega),
+                               float(st.barostat.omega), rtol=1e-9)
+    assert np.isfinite(rows[-1]["press"])
+
+
 def test_migration_preserves_atoms():
     """Run enough steps that atoms cross brick boundaries; the gathered
     gid set must remain a permutation of the original atoms."""
