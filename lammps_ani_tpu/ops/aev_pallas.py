@@ -275,11 +275,8 @@ def _radial_fwd_kernel(px, py, pz, cx, cy, cz, cs, out,
     fc = jnp.where(in_cut,
                    0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
                    jnp.zeros((), dtype))
-    # clamp before the recurrence (parked slots sit at ~1e6; the B factor
-    # would overflow before fc=0 could cancel it)
-    x = jnp.minimum(dist, rc + 1.0) - mu0
-    t = 0.25 * fc * jnp.exp(-eta * x * x)
-    bfac = jnp.exp((2.0 * eta * delta) * x)
+    x = jnp.minimum(dist, rc + 1.0) - mu0  # clamp parked ~1e6 slots
+    pref = 0.25 * fc
     csg = cs[...][0]
     masks = [(csg[:, None, :] == s).astype(dtype) for s in present]
 
@@ -287,9 +284,12 @@ def _radial_fwd_kernel(px, py, pz, cx, cy, cz, cs, out,
     def _():
         out[...] = jnp.zeros_like(out[...])
 
+    # direct exp per shift: the uniform-grid recurrence t0 * B^k
+    # UNDERFLOWS in f32 (t0 = exp(-eta x^2) = 0 beyond ~2.9 A) and can
+    # never recover, silently zeroing every outer radial shell
     for k in range(n_shf):
-        if k > 0:
-            t = t * bfac * steps[k]
+        xk = x - k * delta
+        t = pref * jnp.exp(-eta * xk * xk)
         for si, s in enumerate(present):
             col = s * n_shf + k
             out[:, :, col] = out[:, :, col] + jnp.sum(t * masks[si],
@@ -328,17 +328,16 @@ def _radial_bwd_kernel(px, py, pz, cx, cy, cz, cs, ga, sh,
         (-0.5 * math.pi / rc) * jnp.sin(dist * (math.pi / rc)),
         jnp.zeros((), dtype))
     x = jnp.minimum(dist, rc + 1.0) - mu0
-    e = jnp.exp(-eta * x * x)  # basis exps without the 0.25 fc prefactor
-    bfac = jnp.exp((2.0 * eta * delta) * x)
     csg = cs[...][0]
     masks = [(csg[:, None, :] == s).astype(dtype) for s in present]
 
     gamma = jnp.zeros((t_rows, cap, wg), dtype)
     for k in range(n_shf):
-        if k > 0:
-            e = e * bfac * steps[k]
+        # direct exp per shift (f32-safe; see forward kernel note)
+        xk = x - k * delta
+        e = jnp.exp(-eta * xk * xk)
         # d basis_k / d dist = 0.25 e_k (dfc - 2 eta (x - k delta) fc)
-        db = 0.25 * e * (dfc - (2.0 * eta) * (x - k * delta) * fc)
+        db = 0.25 * e * (dfc - (2.0 * eta) * xk * fc)
         for si, s in enumerate(present):
             g_col = gav[:, :, s * n_shf + k]  # [T, cap]
             gamma = gamma + db * (g_col[:, :, None] * masks[si])
@@ -680,14 +679,9 @@ def _angular_pair_terms(spec, consts, sl1, sl2, a1, a2, same, dtype):
 
     rmean = 0.5 * (d1p + d2p)
     x2 = jnp.minimum(rmean, rca + 1.0) - mu0  # clamp: parked slots are big
-    e0 = jnp.exp(-eta * x2 * x2)
-    b2 = jnp.exp((2.0 * eta * delta) * x2)
-    e_j = []
-    e = e0
-    for j in range(len(spec.shf_a)):
-        if j > 0:
-            e = e * b2 * steps[j]
-        e_j.append(e)
+    # direct exp per shift (the recurrence underflows f32 at far rmean)
+    e_j = [jnp.exp(-eta * (x2 - j * delta) ** 2)
+           for j in range(len(spec.shf_a))]
 
     base_m, f1_m = [], []
     for m in range(len(spec.shf_z)):

@@ -171,10 +171,13 @@ def _radial_basis(aev_spec, d, fc):
         uniform = np.allclose(np.diff(shf), delta, rtol=1e-6)
     else:
         uniform = False
-    if uniform and len(aev_spec.eta_r) == 1:
+    if uniform and len(aev_spec.eta_r) == 1 and d.dtype == jnp.float64:
         # running product t_k = exp(-eta (x - k delta)^2): every
         # intermediate IS a basis value in (0, 1], so nothing overflows
-        # (naive A * B^k * C_k blows past f64 range before cancelling)
+        # (naive A * B^k * C_k blows past f64 range before cancelling).
+        # f64 ONLY: in f32 the first term exp(-eta x^2) UNDERFLOWS for
+        # x > ~2.1 A and the recurrence can never recover — silently
+        # zeroing every outer radial shell. f32 uses direct exps below.
         x = d - mu0
         t = jnp.exp(-eta * x * x)  # exp #1
         b = jnp.exp(2.0 * eta * delta * x)  # exp #2

@@ -38,6 +38,48 @@ def test_pallas_radial_matches_oracle_f64():
     np.testing.assert_allclose(got, ref, atol=1e-10, rtol=1e-8)
 
 
+def test_pallas_radial_f32_no_underflow():
+    """f32 parity vs the f32 oracle — guards the production dtype.
+
+    Regression: the uniform-grid radial recurrence (t0 * B^k) UNDERFLOWS
+    in f32 for pairs beyond ~2.9 A (t0 = exp(-19.7 x^2) = 0) and can
+    never recover, silently zeroing every outer radial shell while all
+    f64 tests pass. The kernels use direct per-shift exponentials."""
+    spec = aevmod.ani2x_aev_spec()
+    species, pos64, box64, data = _system()
+    pos = pos64.astype(jnp.float32)
+    box = nbops.Box(h=box64.h.astype(jnp.float32),
+                    origin=box64.origin.astype(jnp.float32))
+    grid, bins = _grid_bins(spec, species, pos, box)
+    ref = np.asarray(_radial_reference(spec, species, pos, box))
+    got = np.asarray(apmod.radial_aev_pallas(
+        spec, grid, bins, pos, box, interpret=True))
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, ref, atol=5e-6, rtol=1e-5)
+
+    key = jax.random.PRNGKey(0)
+    w = jax.random.normal(key, (spec.radial_length,), jnp.float32)
+    g_pal = jax.grad(lambda p: jnp.sum(apmod.radial_aev_pallas(
+        spec, grid, bins, p, box, interpret=True) @ w))(pos)
+    g_ref = jax.grad(lambda p: jnp.sum(
+        _radial_reference(spec, species, p, box) @ w))(pos)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=2e-4)
+
+
+def test_pallas_angular_f32_no_underflow():
+    """f32 angular parity (same underflow class in the e_j recurrence)."""
+    spec, species, pos64, box64, grid, bins, caps = _angular_setup()
+    pos = pos64.astype(jnp.float32)
+    box = nbops.Box(h=box64.h.astype(jnp.float32),
+                    origin=box64.origin.astype(jnp.float32))
+    bins32 = crmod.build_bins(grid, pos, species, box)
+    ref = np.asarray(_angular_reference(spec, species, pos, box))
+    got, deficit = apmod.angular_aev_pallas(
+        spec, grid, bins32, pos, box, caps, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-5, rtol=1e-4)
+
+
 def test_pallas_radial_species_pruning():
     """species_counts prunes absent species' channels to exact zeros while
     matching the full evaluation on present ones."""
