@@ -290,9 +290,12 @@ def energy_forces_virial(
     """
 
     def deformed_energy(eps, pos_):
-        deform = jnp.eye(3, dtype=pos_.dtype) + eps
-        pos_d = pos_ @ deform
-        box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+        # additive form: pos + pos @ eps is EXACTLY pos at eps = 0 under
+        # any matmul precision (pos @ (I + eps) routes coordinates through
+        # a dot that XLA may lower in bf16 at scale — 0.5 A rounding at
+        # 100 A boxes collapses near pairs and NaNs the force path)
+        pos_d = pos_ + pos_ @ eps
+        box_d = nbops.Box(h=box.h + box.h @ eps, origin=box.origin)
         return potential_energy(
             pot, species, pos_d, box_d, nlist, species_counts, local_mask
         )
@@ -358,9 +361,12 @@ def energy_forces_virial_roll(
     and box cotangents (same contract as the mirror path)."""
 
     def deformed_energy(eps, pos_):
-        deform = jnp.eye(3, dtype=pos_.dtype) + eps
-        pos_d = pos_ @ deform
-        box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+        # additive form: pos + pos @ eps is EXACTLY pos at eps = 0 under
+        # any matmul precision (pos @ (I + eps) routes coordinates through
+        # a dot that XLA may lower in bf16 at scale — 0.5 A rounding at
+        # 100 A boxes collapses near pairs and NaNs the force path)
+        pos_d = pos_ + pos_ @ eps
+        box_d = nbops.Box(h=box.h + box.h @ eps, origin=box.origin)
         e, deficit = atomic_energies_roll(
             pot, species, pos_d, box_d, grid, bins, radial_shell,
             species_counts)
@@ -381,9 +387,12 @@ def energy_forces_virial_mirror(
     custom op's exact box cotangent (dE/dh = -sum shift^T g)."""
 
     def deformed_energy(eps, pos_):
-        deform = jnp.eye(3, dtype=pos_.dtype) + eps
-        pos_d = pos_ @ deform
-        box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+        # additive form: pos + pos @ eps is EXACTLY pos at eps = 0 under
+        # any matmul precision (pos @ (I + eps) routes coordinates through
+        # a dot that XLA may lower in bf16 at scale — 0.5 A rounding at
+        # 100 A boxes collapses near pairs and NaNs the force path)
+        pos_d = pos_ + pos_ @ eps
+        box_d = nbops.Box(h=box.h + box.h @ eps, origin=box.origin)
         return jnp.sum(atomic_energies_mirror(
             pot, species, pos_d, box_d, nbrs, species_counts, local_mask,
             cellroll=cellroll))

@@ -600,15 +600,17 @@ def _compact(spec, caps, present, pxv, pyv, pzv, cx, cy, cz, csv, cap,
         rank = jax.lax.dot_general(
             m2, tri, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype)  # [R, W]
-        # one-hot in [R, A, W] layout (candidates stay on lanes)
-        slot = jax.lax.broadcasted_iota(jnp.int32, (r_rows, a_s, w), 1)
-        oh = ((rank[:, None, :] == slot.astype(dtype))
-              * m2[:, None, :])  # [R, A, W]
+        # per-slot masked passes instead of a materialized [R, A, W]
+        # one-hot: same flops, 1/A the VMEM (the one-hot form blew the
+        # 16 MB scoped-vmem limit in the backward kernel); Mosaic cannot
+        # lower batched dots either way.
+        sels = [((rank == float(a)) * m2) for a in range(a_s)]
 
         def compact(x):
             x2 = x.reshape(r_rows, w)
-            c = jnp.sum(oh * x2[:, None, :], axis=-1)  # [R, A]
-            return c.reshape(t_rows, cap, a_s)
+            cols = [jnp.sum(sel * x2, axis=-1)[:, None] for sel in sels]
+            return jnp.concatenate(cols, axis=-1).reshape(
+                t_rows, cap, a_s)
 
         cax, cay, caz, cd = (compact(ax), compact(ay), compact(az),
                              compact(dist))
@@ -623,7 +625,7 @@ def _compact(spec, caps, present, pxv, pyv, pzv, cx, cy, cz, csv, cap,
             (-0.5 * math.pi / rca) * jnp.sin(cd * (math.pi / rca)),
             jnp.zeros((), dtype))
         out[s] = dict(ux=cax * inv, uy=cay * inv, uz=caz * inv,
-                      d=d_safe, fc=fc, dfc=dfc, mask=mask, oh=oh)
+                      d=d_safe, fc=fc, dfc=dfc, mask=mask, sels=sels)
     return out, deficit, (ax, ay, az, dist)
 
 
@@ -833,15 +835,17 @@ def _angular_bwd_kernel(px, py, pz, cx, cy, cz, cs, ga, sh,
                          g["d"] + g["fc"] * sl["dfc"] - gu_dot_u * inv,
                          jnp.zeros((), dtype))
         # decompact [T,cap,A] -> [T,cap,W] (transpose of the compaction):
-        # sum the A-replicated one-hot against the slot cotangents
+        # per-slot masked accumulation (memory-lean; see _compact)
         a_s = g_cd.shape[-1]
         r_rows = t_rows * cap
-        oh = sl["oh"]  # [R, A, W]
+        sels = sl["sels"]
 
         def decompact(gq):
             g2 = gq.reshape(r_rows, a_s)
-            out2 = jnp.sum(oh * g2[:, :, None], axis=1)  # [R, W]
-            return out2.reshape(t_rows, cap, w)
+            acc = jnp.zeros((r_rows, w), dtype)
+            for a in range(a_s):
+                acc = acc + sels[a] * g2[:, a:a + 1]
+            return acc.reshape(t_rows, cap, w)
 
         gx_w = decompact(g_cax)
         gy_w = decompact(g_cay)

@@ -246,7 +246,9 @@ def radial_aev_cellroll(aev_spec, grid: RollGrid, bins: RollBins, pos, box,
         shift = jnp.asarray(_wrap_shift(grid, off), dtype)  # [total, 3]
         nbr_pos = _roll_cells(grid, pos_grid, off)  # [total, cap, 3]
         nbr_oh = _roll_cells(grid, onehot_nbr_all, off)
-        nbr_pos = nbr_pos + (shift @ box.h)[:, None, :]
+        nbr_pos = nbr_pos + jnp.matmul(
+            shift, box.h,
+            precision=jax.lax.Precision.HIGHEST)[:, None, :]
         self_excl = jnp.full((total, 1, 1), off == (0, 0, 0))
         args = jax.tree.map(
             lambda x: padded(x).reshape(n_chunks, cell_chunk, *x.shape[1:]),

@@ -200,7 +200,7 @@ def neighbor_diff(pos, h, src, shift_f, mirror, mask):
 
 
 def _diff_fwd_impl(pos, h, src, shift_f, mask):
-    pj = pos[src] + shift_f @ h
+    pj = pos[src] + jnp.matmul(shift_f, h, precision=jax.lax.Precision.HIGHEST)
     diff = pos[:, None, :] - pj
     return jnp.where(mask[..., None], diff, 1.0)
 
@@ -244,7 +244,7 @@ def neighbor_dist(pos, h, src, shift_f, mirror, mask):
 
 
 def _dist_fwd_impl(pos, h, src, shift_f, mask):
-    pj = pos[src] + shift_f @ h
+    pj = pos[src] + jnp.matmul(shift_f, h, precision=jax.lax.Precision.HIGHEST)
     diff = pos[:, None, :] - pj
     d = jnp.linalg.norm(jnp.where(mask[..., None], diff, 1.0), axis=-1)
     return jnp.where(mask, d, 1e6)
@@ -260,7 +260,7 @@ def _dist_bwd(res, g):
     n, k_max = g.shape
     g = jnp.where(mask, g, 0.0)
     # recompute units (cheap relative to storing [n,k,3] residuals)
-    pj = pos[src] + shift_f @ h
+    pj = pos[src] + jnp.matmul(shift_f, h, precision=jax.lax.Precision.HIGHEST)
     diff = pos[:, None, :] - pj
     d = jnp.linalg.norm(jnp.where(mask[..., None], diff, 1.0), axis=-1)
     unit = jnp.where(mask[..., None], diff / d[..., None], 0.0)

@@ -96,7 +96,11 @@ class Box:
         return jnp.stack([f0, f1, f2], axis=-1)
 
     def from_fractional(self, frac: jax.Array) -> jax.Array:
-        return self.origin + frac @ self.h
+        # highest precision: a bf16-lowered dot rounds coordinates by
+        # ~0.25 A at 100 A boxes (geometry must not depend on the global
+        # matmul-precision knob)
+        return self.origin + jnp.matmul(frac, self.h,
+                                        precision=jax.lax.Precision.HIGHEST)
 
 
 def wrap_positions(pos: jax.Array, box: Box) -> jax.Array:
@@ -172,7 +176,8 @@ def build_ghosts(
 def ghost_positions(pos: jax.Array, box: Box, ghosts: Ghosts) -> jax.Array:
     """[g, 3] ghost cartesian positions, differentiable w.r.t. `pos`."""
     base = pos[ghosts.src]
-    disp = ghosts.shift.astype(pos.dtype) @ box.h
+    disp = jnp.matmul(ghosts.shift.astype(pos.dtype), box.h,
+                      precision=jax.lax.Precision.HIGHEST)
     g = base + disp
     # Park padding ghosts far away so they can never enter any cutoff.
     far = box.origin + jnp.asarray(1e6, pos.dtype)

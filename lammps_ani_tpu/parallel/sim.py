@@ -241,9 +241,9 @@ class DomainSimulation:
         species_ext = plan.ext_species(species_l)
 
         def deformed_energy(eps, p):
-            deform = jnp.eye(3, dtype=p.dtype) + eps
-            p_d = p @ deform
-            box_d = nbops.Box(h=box.h @ deform, origin=box.origin)
+            # additive form: exact at eps = 0 under any matmul precision
+            p_d = p + p @ eps
+            box_d = nbops.Box(h=box.h + box.h @ eps, origin=box.origin)
             pos_ext = domain.halo_positions(self.dspec, p_d, box_d, plan)
             e_at = potmod.atomic_energies_ext(
                 pot, species_l, p_d, pos_ext, species_ext, idx, mask,

@@ -44,5 +44,11 @@ def summarize_trace(log_dir: str, top: int = 25):
     for e in tr.get("traceEvents", []):
         if e.get("ph") == "X" and "dur" in e and not e.get(
                 "name", "").startswith(("$", "jit_", "block", "prog")):
-            by[e["name"]] += e["dur"]
+            args = e.get("args") or {}
+            # prefer the semantic op name (named_scope / source op) over
+            # the HLO instruction name ("fusion.123", "while.7", "0")
+            label = (args.get("long_name") or args.get("tf_op")
+                     or args.get("name") or e["name"])
+            by[f"{label} [{e['name']}]" if label != e["name"]
+               else label] += e["dur"]
     return [(dur / 1e3, name) for name, dur in by.most_common(top)]
