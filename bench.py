@@ -40,12 +40,14 @@ def main():
     n_atoms = data.n_atoms
 
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
+    skin = float(os.environ.get("BENCH_SKIN", "1.0"))
+    ang_skin = float(os.environ.get("BENCH_ANG_SKIN", "1.0"))
     pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
                     atom_chunk=min(2048, 30 * n_rep ** 3))
     sim = lat.Simulation(
         potential=pot, species=data.species,
         masses=data.masses_by_type[data.species],
-        nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=skin, ang_skin=ang_skin,
                                k_max=128,
                                ghost_capacity=max(4096, n_atoms // 2),
                                rebuild_every=steps_per_chunk,
@@ -87,6 +89,8 @@ def main():
         "vs_baseline": round(ns_per_day / BASELINE_NS_PER_DAY, 4),
         "detail": {
             "n_atoms": n_atoms,
+            "total_steps": total_steps,
+            "wall_s": round(t1 - t0, 2),
             "ms_per_step": round(ms_per_step, 3),
             "steps_per_s": round(steps_per_s, 3),
             "matom_steps_per_s": round(matom_steps, 4),

@@ -269,6 +269,14 @@ class Simulation:
 
     @property
     def _skin_eff(self) -> float:
+        """Displacement bound between rebuilds is skin_eff/2.
+
+        pallas_full re-compacts angular neighbors from the candidate
+        window EVERY step, so only the bin-coverage skin constrains the
+        interval; the mirror paths also freeze the angular sub-list,
+        bounded by ang_skin."""
+        if self._roll_impl == "pallas_full":
+            return self.nbr.skin
         return min(self.nbr.skin, self.nbr.ang_skin)
 
     @property

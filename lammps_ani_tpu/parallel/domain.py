@@ -331,3 +331,143 @@ def build_neighbor_matrix_ext(
     nbr_mask = jnp.isfinite(neg_key)
     idx = jnp.where(nbr_mask, idx, 0).astype(jnp.int32)
     return idx, nbr_mask, jnp.max(counts)
+
+
+@dataclasses.dataclass(frozen=True)
+class BrickGrid:
+    """Static per-brick cell-grid geometry for the sharded neighbor build.
+
+    One brick = this shard's fractional sub-volume of the box expanded by
+    the halo margin. All bricks share the same static shape; the brick's
+    fractional origin is the only shard-dependent (traced) quantity."""
+
+    ncells: tuple[int, int, int]  # cells per brick axis (incl. margin)
+    margin_frac: tuple[float, float, float]  # halo margin, box fractions
+    cell_capacity: int
+
+    @property
+    def total_cells(self) -> int:
+        nx, ny, nz = self.ncells
+        return nx * ny * nz
+
+    @staticmethod
+    def for_box(box_h, mesh_shape, rlist: float, cell_capacity: int,
+                slack: float = 1.0):
+        """None if a brick doesn't fit a 2-cell grid along every axis
+        (callers fall back to the brute build then)."""
+        h = np.asarray(box_h, np.float64)
+        v = abs(np.dot(h[0], np.cross(h[1], h[2])))
+        perp = np.array([
+            v / np.linalg.norm(np.cross(h[1], h[2])),
+            v / np.linalg.norm(np.cross(h[2], h[0])),
+            v / np.linalg.norm(np.cross(h[0], h[1])),
+        ])
+        side = rlist * slack
+        ncells, margins = [], []
+        for a in range(3):
+            brick = perp[a] / mesh_shape[a]
+            margin = rlist / perp[a]  # box-fraction halo margin
+            extent = brick + 2.0 * rlist
+            n = int(np.floor(extent / side))
+            if n < 2:
+                return None
+            ncells.append(n)
+            margins.append(float(margin))
+        return BrickGrid(ncells=tuple(ncells),
+                         margin_frac=tuple(margins),
+                         cell_capacity=cell_capacity)
+
+
+def build_neighbor_matrix_brick(
+    spec: DomainSpec,
+    grid: BrickGrid,
+    pos_local: jax.Array,  # [n_cap, 3]
+    valid_local: jax.Array,
+    pos_ext: jax.Array,  # [n_ext, 3] local + halo (halo pre-shifted)
+    valid_ext: jax.Array,
+    box,  # ops.neighbors.Box (replicated)
+    rlist: float,
+    k_max: int,
+):
+    """O(n) per-brick cell-list neighbor build (runs under shard_map).
+
+    The sharded analog of ops/cell_list.build_neighbor_matrix_cells and of
+    LAMMPS's per-domain binning: halo positions are already physically
+    shifted, so box-fractional coordinates are CONTINUOUS around the brick
+    and a brick-anchored uniform grid needs no wrap handling. Same output
+    contract as build_neighbor_matrix_ext."""
+    n = pos_local.shape[0]
+    m = pos_ext.shape[0]
+    dtype = pos_local.dtype
+    mesh = spec.mesh_shape
+
+    # brick-anchored fractional coords: u = (frac - brick_lo + margin)
+    #                                      / (brick_extent + 2 margin)
+    frac = box.to_fractional(pos_ext)  # [m, 3], continuous around brick
+    lo = jnp.stack([_axis_index(a, mesh).astype(dtype) / mesh[a]
+                    for a in range(3)])
+    extent = jnp.asarray([1.0 / mesh[a] for a in range(3)], dtype)
+    marg = jnp.asarray(grid.margin_frac, dtype)
+    u = (frac - lo[None, :] + marg[None, :]) / (extent + 2.0 * marg)[None, :]
+
+    ncells = jnp.asarray(grid.ncells, jnp.int32)
+    cc = jnp.clip((u * ncells).astype(jnp.int32), 0, ncells - 1)
+    in_grid = jnp.all((u >= 0.0) & (u < 1.0), axis=-1)
+    cell_ids = (cc[:, 0] * grid.ncells[1] + cc[:, 1]) * grid.ncells[2] \
+        + cc[:, 2]
+
+    # dense [total_cells, cap] table: sort + rank + scatter (no atomics)
+    sentinel = grid.total_cells
+    ids = jnp.where(valid_ext & in_grid, cell_ids, sentinel)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    first = jnp.searchsorted(ids_sorted, ids_sorted, side="left")
+    rank = jnp.arange(m, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (rank < grid.cell_capacity) & (ids_sorted < sentinel)
+    table = jnp.full((grid.total_cells + 1, grid.cell_capacity), m,
+                     jnp.int32)
+    table = table.at[
+        jnp.where(ok, ids_sorted, sentinel),
+        jnp.clip(rank, 0, grid.cell_capacity - 1),
+    ].set(order.astype(jnp.int32), mode="drop")
+    table = table[:-1]
+    table_overflow = jnp.max(jnp.where(ids_sorted < sentinel, rank, -1)) \
+        + 1 > grid.cell_capacity
+
+    offsets = jnp.asarray(
+        [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for k in (-1, 0, 1)], jnp.int32)
+    cutoff2 = jnp.asarray(rlist, dtype) ** 2
+    n_cand = 27 * grid.cell_capacity
+
+    cc_local = cc[:n]
+    nbr_cells = cc_local[:, None, :] + offsets[None, :, :]  # [n, 27, 3]
+    cell_ok = jnp.all((nbr_cells >= 0) & (nbr_cells < ncells), axis=-1)
+    nbr_flat = ((jnp.clip(nbr_cells, 0, ncells - 1)[..., 0]
+                 * grid.ncells[1]
+                 + jnp.clip(nbr_cells, 0, ncells - 1)[..., 1])
+                * grid.ncells[2]
+                + jnp.clip(nbr_cells, 0, ncells - 1)[..., 2])
+    cand = jnp.where(cell_ok[..., None], table[nbr_flat], m)
+    cand = cand.reshape(n, n_cand)
+    cand_safe = jnp.minimum(cand, m - 1)
+    cpos = pos_ext[cand_safe]
+    d = pos_local[:, None, :] - cpos
+    dist2 = jnp.sum(d * d, axis=-1)
+    row = jnp.arange(n, dtype=jnp.int32)
+    mask = ((cand < m) & (dist2 < cutoff2) & (cand != row[:, None])
+            & valid_local[:, None])
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    key = jnp.where(mask, dist2, jnp.inf)
+    k_eff = min(k_max, n_cand)
+    neg_key, sel = lax.top_k(-key, k_eff)
+    if k_eff < k_max:
+        neg_key = jnp.pad(neg_key, ((0, 0), (0, k_max - k_eff)),
+                          constant_values=-jnp.inf)
+        sel = jnp.pad(sel, ((0, 0), (0, k_max - k_eff)))
+    nbr_mask = jnp.isfinite(neg_key)
+    idx = jnp.where(nbr_mask,
+                    jnp.take_along_axis(cand_safe, sel, axis=1),
+                    0).astype(jnp.int32)
+    max_deg = jnp.where(table_overflow, k_max + 1, jnp.max(counts))
+    return idx, nbr_mask, max_deg

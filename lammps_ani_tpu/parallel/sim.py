@@ -82,8 +82,11 @@ class DomainSimulation:
         dtype=jnp.float32,
         devices=None,
         auto_angular_caps: bool = True,
+        use_brick_cells: bool | None = None,  # None = auto (n_cap >= 2048)
     ):
         self.potential = potential
+        self._use_brick_cells = use_brick_cells
+        self._brick_grid = None  # set in init_state
         self._auto_angular_caps = (
             auto_angular_caps and potential.spec.angular_caps is None)
         self.dspec = dspec
@@ -138,6 +141,21 @@ class DomainSimulation:
 
         pos = np.asarray(jax.device_get(nbops.wrap_positions(
             jnp.asarray(pos, self.dtype), box)))
+        use_cells = (self._use_brick_cells
+                     if self._use_brick_cells is not None
+                     else self.dspec.n_cap >= 2048)
+        if use_cells and not isinstance(self.integrator,
+                                        integrate.NoseHooverNPT):
+            # per-brick O(n) cell build (VERDICT r1 #3; the brute build is
+            # O(n_cap * n_ext)). NPT keeps the brute build until brick
+            # grids track the box like the single-device engine's.
+            density = n / float(np.prod(np.diag(
+                np.asarray(jax.device_get(box.h)))))
+            cap = int(-(-int(self.rlist ** 3 * density * 2.0 + 4) // 8) * 8)
+            self._brick_grid = domain.BrickGrid.for_box(
+                np.asarray(jax.device_get(box.h)), self.dspec.mesh_shape,
+                self.rlist, cap)
+            self._chunk_cache = {}
         if self._auto_angular_caps and n <= 50_000:
             # composition-specialize the angular AEV (the single-device
             # engine's _derive_angular_caps; brute measure is O(n^2), so
@@ -284,9 +302,14 @@ class DomainSimulation:
         plan = domain.build_halo_plan(
             dspec, pos, species, valid, box, self.rlist)
         pos_ext0 = domain.halo_positions(dspec, pos, box, plan)
-        idx, mask, max_deg = domain.build_neighbor_matrix_ext(
-            pos, valid, pos_ext0, plan.ext_valid(valid), self.rlist,
-            dspec.k_max)
+        if self._brick_grid is not None:
+            idx, mask, max_deg = domain.build_neighbor_matrix_brick(
+                dspec, self._brick_grid, pos, valid, pos_ext0,
+                plan.ext_valid(valid), box, self.rlist, dspec.k_max)
+        else:
+            idx, mask, max_deg = domain.build_neighbor_matrix_ext(
+                pos, valid, pos_ext0, plan.ext_valid(valid), self.rlist,
+                dspec.k_max)
         ang_overflow = jnp.zeros((), bool)
         caps = pot.spec.angular_caps
         if caps is not None:
