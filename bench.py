@@ -31,7 +31,7 @@ def main():
 
     n_rep = int(os.environ.get("BENCH_REP", "15"))  # 15^3 * 30 = 101,250
     dt = 0.5
-    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "40"))
+    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "24"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "3"))
 
     data = ldio.replicate(
@@ -40,8 +40,8 @@ def main():
     n_atoms = data.n_atoms
 
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
-    skin = float(os.environ.get("BENCH_SKIN", "1.0"))
-    ang_skin = float(os.environ.get("BENCH_ANG_SKIN", "1.0"))
+    skin = float(os.environ.get("BENCH_SKIN", "2.0"))
+    ang_skin = float(os.environ.get("BENCH_ANG_SKIN", "2.0"))
     pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
                     atom_chunk=min(2048, 30 * n_rep ** 3))
     sim = lat.Simulation(

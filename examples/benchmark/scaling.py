@@ -51,13 +51,17 @@ def main():
     args = ap.parse_args()
 
     if args.virtual:
-        os.environ["JAX_PLATFORMS"] = "cpu"
         flags = os.environ.get("XLA_FLAGS", "")
         os.environ["XLA_FLAGS"] = (
             f"{flags} --xla_force_host_platform_device_count="
             f"{args.virtual}").strip()
 
     import jax
+
+    if args.virtual:
+        # the axon sitecustomize ignores the JAX_PLATFORMS env var; the
+        # config update after import is the only reliable override
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     import lammps_ani_tpu as lat

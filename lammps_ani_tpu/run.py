@@ -148,7 +148,11 @@ def main(argv=None):
     fields = "step pe ke etotal temp press vol density".split()
     print("# " + " ".join(f"{f:>12}" for f in fields))
 
+    base_step = {"v": 0}
+
     def on_thermo(row):
+        row = dict(row)
+        row["step"] += base_step["v"]  # chunk-local -> absolute step
         log(row)
         print("  " + " ".join(f"{row.get(f, float('nan')):12.4f}"
                               for f in fields))
@@ -166,6 +170,7 @@ def main(argv=None):
         nxt = min((done // c + 1) * c for c in cadences) if cadences \
             else steps
         take = min(nxt, steps) - done
+        base_step["v"] = done
         state, _ = sim.run(state, take, thermo_every=cfg["thermo_every"],
                            thermo_callback=on_thermo)
         done += take

@@ -67,24 +67,28 @@ def test_cli_runner_end_to_end(tmp_path, capsys):
 
     cfg = {
         "data": "/root/reference/tests/water-0.8nm.data",
-        "model": "ani2x", "num_models": 1, "steps": 4, "dt": 0.1,
+        "model": "ani2x", "num_models": 1, "steps": 6, "dt": 0.1,
         "ensemble": "nvt", "temp": 300.0, "tdamp": 20.0,
         "rebuild_every": 2, "thermo_every": 2,
-        "dump": str(tmp_path / "t.lammpstrj"), "dump_every": 4,
-        "restart": str(tmp_path / "ck.npz"),
+        "dump": str(tmp_path / "t.lammpstrj"), "dump_every": 2,
+        "restart": str(tmp_path / "ck.npz"), "restart_every": 4,
         "log": str(tmp_path / "thermo.yaml"),
     }
     cfg_path = tmp_path / "cfg.json"
     cfg_path.write_text(json.dumps(cfg))
     state = runner.main([str(cfg_path)])
-    assert int(state.step) == 4
+    assert int(state.step) == 6
     out = capsys.readouterr().out
     assert "Performance:" in out and "ns/day" in out
-    assert (tmp_path / "t.lammpstrj").exists()
     assert (tmp_path / "ck.npz").exists()
+    # VERDICT r1 #6: N dump frames from an N*dump_every run — with mixed
+    # dump/restart cadences no frame may be skipped (run.py chunks to the
+    # NEAREST next boundary, not the max of the cadences)
+    trj = (tmp_path / "t.lammpstrj").read_text()
+    assert trj.count("ITEM: TIMESTEP") == 3, trj[:200]
     from lammps_ani_tpu.io.dump import read_thermo_yaml
     cols = read_thermo_yaml(tmp_path / "thermo.yaml")
-    assert cols["step"][-1] == 4.0
+    assert cols["step"][-1] == 6.0
 
 
 def test_native_parser_parity(tmp_path):
