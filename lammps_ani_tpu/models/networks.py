@@ -142,13 +142,19 @@ def atomic_energies_masked(
     params,
     species: jax.Array,  # [n] int32, -1 = ghost/padding
     aev: jax.Array,  # [n, aev_length]
+    present: tuple | None = None,  # static species subset (composition)
 ) -> jax.Array:
-    """[m, n] per-atom energies; every net runs on all atoms, masked combine."""
+    """[m, n] per-atom energies; every net runs on all atoms, masked combine.
+
+    `present` (static) prunes the species loop to the system's global
+    composition — the sharded path's per-shard species sets are dynamic,
+    but the global composition is not, so absent elements' nets need
+    never run (water: 2 of 7 ANI-2x nets)."""
     num_models = params[0][0]["w"].shape[0]
     n = aev.shape[0]
     x = jnp.broadcast_to(aev[None], (num_models, n, aev.shape[1]))
     out = jnp.zeros((num_models, n), aev.dtype)
-    for s in range(spec.num_species):
+    for s in (range(spec.num_species) if present is None else present):
         e_s = _mlp_stack(params[s], x, spec.celu_alpha)
         out = jnp.where((species == s)[None, :], e_s, out)
     return jnp.where((species >= 0)[None, :], out, 0.0)

@@ -86,6 +86,7 @@ def atomic_energies_ext(
     mask: jax.Array,  # [n, k] neighbor validity
     species_counts: Optional[Sequence[int]] = None,
     local_mask: jax.Array | None = None,
+    present_species: Optional[tuple] = None,  # static composition subset
 ) -> jax.Array:
     """[n] per-atom energies from explicit extended arrays.
 
@@ -108,7 +109,7 @@ def atomic_energies_ext(
     ghost_j = idx >= pos.shape[0]
     return _energies_from_neighbors(
         pot, species, diff, dist, species_j, nbr_mask, ghost_j,
-        species_counts, local_mask)
+        species_counts, local_mask, present_species=present_species)
 
 
 def atomic_energies_mirror(
@@ -187,6 +188,7 @@ def atomic_energies_mirror(
 def _energies_from_neighbors(
     pot, species, diff, dist, species_j, nbr_mask, ghost_j,
     species_counts, local_mask, angular_inputs=None, radial_override=None,
+    present_species=None,
 ):
     """Common tail: (diff, dist, species_j) -> per-atom energies [Hartree].
 
@@ -221,7 +223,8 @@ def _energies_from_neighbors(
             )
         else:
             atomic = netmod.atomic_energies_masked(
-                spec.net, pot.params, species, aev)
+                spec.net, pot.params, species, aev,
+                present=present_species)
         e = netmod.ensemble_energies(atomic)  # [n]
     e = e + spec.shifter(species, dtype=e.dtype)
     if spec.repulsion is not None:
@@ -347,7 +350,8 @@ def atomic_energies_roll(
                 spec.net, pot.params, species_counts, aev)
         else:
             atomic = netmod.atomic_energies_masked(
-                spec.net, pot.params, species, aev)
+                spec.net, pot.params, species, aev,
+                present=present_species)
         e = netmod.ensemble_energies(atomic)
     e = e + spec.shifter(species, dtype=e.dtype)
     return jnp.where(local_mask, e, 0.0), deficit

@@ -87,6 +87,7 @@ class DomainSimulation:
         self.potential = potential
         self._use_brick_cells = use_brick_cells
         self._brick_grid = None  # set in init_state
+        self._present_species = None
         self._auto_angular_caps = (
             auto_angular_caps and potential.spec.angular_caps is None)
         self.dspec = dspec
@@ -141,6 +142,11 @@ class DomainSimulation:
 
         pos = np.asarray(jax.device_get(nbops.wrap_positions(
             jnp.asarray(pos, self.dtype), box)))
+        # static global composition: prune absent species' MLPs on every
+        # shard (per-shard species sets are dynamic; the composition isn't)
+        self._present_species = tuple(
+            int(s) for s in np.unique(np.asarray(species)) if s >= 0)
+        self._chunk_cache = {}
         use_cells = (self._use_brick_cells
                      if self._use_brick_cells is not None
                      else self.dspec.n_cap >= 2048)
@@ -265,7 +271,8 @@ class DomainSimulation:
             pos_ext = domain.halo_positions(self.dspec, p_d, box_d, plan)
             e_at = potmod.atomic_energies_ext(
                 pot, species_l, p_d, pos_ext, species_ext, idx, mask,
-                local_mask=valid_l)
+                local_mask=valid_l,
+                present_species=self._present_species)
             return jnp.sum(e_at)
 
         # Differentiate the *shard-local* energy, not a psum of it. The
