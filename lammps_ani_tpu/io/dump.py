@@ -171,3 +171,40 @@ def read_thermo_yaml(path):
             data.append(vals)
     cols = {k: [row[i] for row in data] for i, k in enumerate(keywords or [])}
     return cols
+
+
+def read_dcd(path):
+    """[n_frames, n_atoms, 3] float32 positions from a DCD trajectory.
+
+    Reads the subset of CHARMM/NAMD DCD that DCDWriter emits (and LAMMPS
+    `dump dcd` produces): CORD header, title block, natoms block, then
+    per frame an optional unit-cell block and three coordinate blocks."""
+    frames = []
+    with open(path, "rb") as f:
+        def block():
+            raw = f.read(4)
+            if len(raw) < 4:
+                return None
+            (n,) = struct.unpack("<i", raw)
+            data = f.read(n)
+            f.read(4)  # trailing length
+            return data
+
+        hdr = block()
+        assert hdr[:4] == b"CORD", "not a DCD file"
+        has_cell = struct.unpack("<i", hdr[44:48])[0] != 0
+        block()  # title
+        (n_atoms,) = struct.unpack("<i", block())
+        while True:
+            if has_cell:
+                cell = block()
+                if cell is None:
+                    break
+            xyz = []
+            for _ in range(3):
+                data = block()
+                if data is None:
+                    return np.asarray(frames, np.float32)
+                xyz.append(np.frombuffer(data, np.float32, count=n_atoms))
+            frames.append(np.stack(xyz, axis=1))
+    return np.asarray(frames, np.float32)

@@ -49,3 +49,17 @@ def test_combustion_prepare_system(tmp_path):
     write_lammps_data(p, data)
     back = read_lammps_data(p)
     np.testing.assert_allclose(back.positions, data.positions, atol=1e-9)
+
+
+def test_dcd_roundtrip(tmp_path):
+    from lammps_ani_tpu.io.dump import DCDWriter, read_dcd
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(0, 5, (3, 17, 3)).astype(np.float32)
+    w = DCDWriter(tmp_path / "t.dcd", n_atoms=17, dt_fs=0.5, every=2)
+    for k in range(3):
+        w.write_frame(2 * k, pos[k], box_h=np.diag([20.0, 20.0, 20.0]))
+    w.close()
+    back = read_dcd(tmp_path / "t.dcd")
+    assert back.shape == (3, 17, 3)
+    np.testing.assert_allclose(back, pos, atol=0)
