@@ -42,8 +42,9 @@ def main():
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
     skin = float(os.environ.get("BENCH_SKIN", "2.0"))
     ang_skin = float(os.environ.get("BENCH_ANG_SKIN", "2.0"))
+    atom_chunk = int(os.environ.get("BENCH_ATOM_CHUNK", "2048"))
     pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
-                    atom_chunk=min(2048, 30 * n_rep ** 3))
+                    atom_chunk=min(atom_chunk, 30 * n_rep ** 3))
     sim = lat.Simulation(
         potential=pot, species=data.species,
         masses=data.masses_by_type[data.species],
