@@ -88,11 +88,10 @@ class Simulation:
                         # thermostat (LAMMPS fix press/berendsen style)
         constraints=None,  # md.constraints.Rattle (LAMMPS fix shake); bond
                            # indices in the CALLER's atom order
-        cellroll: bool = False,  # EXPERIMENTAL gather-free radial channel
-                                 # (ops/cell_roll): numerically exact
-                                 # (tests/test_cell_roll.py) but its TPU
-                                 # chunking still faults the v5e runtime at
-                                 # 100k atoms — lands as default in round 2
+        cellroll: bool = False,  # cell-roll AEV channels (Pallas on TPU
+                                 # f32, XLA oracle elsewhere; see
+                                 # LAT_ROLL_IMPL modes below). The bench
+                                 # default; requires no repulsion term.
         extra_force: Optional[Callable] = None,  # (pos, box, step) -> [n,3]
     ):
         n = len(species)
@@ -135,10 +134,6 @@ class Simulation:
         self._ang_cap = None  # angular sub-list capacity (auto-derived)
         self._want_cellroll = cellroll and potential.spec.repulsion is None
         self._roll_grid = None  # ops/cell_roll.RollGrid when active
-        # Radial-channel implementation: the Pallas kernel (ops/aev_pallas)
-        # on TPU; the XLA cell-roll path elsewhere (and for f64, which the
-        # TPU vector unit doesn't support). LAT_ROLL_IMPL overrides (tests
-        # force "pallas" to exercise the kernel in interpret mode on CPU).
         # Cell-roll implementation modes:
         #   "xla"         — XLA roll radial channel + mirror angular
         #   "pallas"      — Pallas radial kernel (coarse grid, shell-1)
@@ -319,7 +314,9 @@ class Simulation:
                     lambda p, b: crmod.build_bins(
                         probe, nbops.wrap_positions(p, b),
                         self.species, b).count_max)(pos, box)))
-                cap = int(-(-int(cnt * 1.15 + 2) // 4) * 4)
+                # tight cap: radial kernel work scales with cap^2; the
+                # structured overflow recovery regrows on demand
+                cap = int(-(-int(cnt + 2) // 4) * 4)
                 self._roll_grid = crmod.RollGrid(ncells=probe.ncells,
                                                  cap=cap)
                 self._rlist_query = (
