@@ -349,9 +349,11 @@ def atomic_energies_roll(
             atomic = netmod.atomic_energies_sorted(
                 spec.net, pot.params, species_counts, aev)
         else:
+            # no species sort / composition: masked combine over all nets
+            # (angular caps say which species occur as neighbors, not which
+            # occur as centers — cannot prune the net loop from them)
             atomic = netmod.atomic_energies_masked(
-                spec.net, pot.params, species, aev,
-                present=present_species)
+                spec.net, pot.params, species, aev)
         e = netmod.ensemble_energies(atomic)
     e = e + spec.shifter(species, dtype=e.dtype)
     return jnp.where(local_mask, e, 0.0), deficit

@@ -270,6 +270,44 @@ def test_simulation_full_pallas_matches_mirror(monkeypatch):
     np.testing.assert_allclose(w_pal, w_ref, atol=1e-8)
 
 
+def test_simulation_full_pallas_unsorted_species(monkeypatch):
+    """sort_species=False on the full Pallas path (regression: the masked
+    MLP branch of atomic_energies_roll referenced an undefined name and
+    crashed at trace time)."""
+    from lammps_ani_tpu.models import zoo
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        2, 2, 2)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    # explicit velocities in CALLER order: init_state's thermal draw happens
+    # after the internal reorder, so sorted/unsorted runs would otherwise
+    # start from physically different states
+    rng = np.random.default_rng(3)
+    vel0 = 0.002 * rng.standard_normal((data.n_atoms, 3))
+
+    def run(sort):
+        monkeypatch.setenv("LAT_ROLL_IMPL", "pallas_full")
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160, ghost_capacity=8192,
+                                   rebuild_every=2),
+            dt=0.2, dtype=jnp.float64, sort_species=sort, cellroll=True)
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, vel=vel0)
+        assert sim._pallas_roll, "pallas roll path not active"
+        st, _ = sim.run(st, 2)
+        return sim.positions_input_order(st), float(st.pe)
+
+    p_u, e_u = run(False)
+    p_s, e_s = run(True)
+    np.testing.assert_allclose(e_u, e_s, rtol=1e-11)
+    np.testing.assert_allclose(p_u, p_s, atol=1e-10)
+
+
 def test_pallas_radial_small_ncells_wrap():
     """ncells == 3 exercises every wrap branch (each cell touches both
     periodic faces along each axis)."""
