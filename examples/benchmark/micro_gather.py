@@ -41,18 +41,20 @@ def timeit(name, f, *args):
         c, _ = jax.lax.scan(body, p, jnp.arange(REPS, dtype=jnp.int32))
         return c
 
-    g = jax.jit(lambda p, s, *rest: scanned(p, s, rest))
+    g = jax.jit(lambda p, s, *rest: jnp.sum(scanned(p, s, rest)))
 
     def call():
+        # float() forces a host fetch — block_until_ready on the axon
+        # tunnel returns before the remote execution finishes
         _seed[0] += 1
-        return g(args[0], jnp.float32(_seed[0]), *args[1:])
+        return float(g(args[0], jnp.float32(_seed[0]), *args[1:]))
 
     t0 = time.perf_counter()
-    jax.block_until_ready(call())
+    call()
     t_compile = time.perf_counter() - t0
     t0 = time.perf_counter()
-    jax.block_until_ready(call())
-    jax.block_until_ready(call())
+    call()
+    call()
     dt = (time.perf_counter() - t0) / (2 * REPS) * 1e3
     print(f"{name}: {dt:.3f} ms (compile {t_compile:.1f}s)", flush=True)
     return dt

@@ -385,6 +385,71 @@ def energy_forces_virial_roll(
     return e, -dpos, virial, deficit
 
 
+def atomic_energies_asn(
+    pot: ANIPotential,
+    species: jax.Array,
+    pos: jax.Array,
+    box: nbops.Box,
+    asn_state,  # (rgrid, rbins, rasn, rsect, agrid, abins, aasn, asect)
+    species_counts: Optional[Sequence[int]] = None,
+):
+    """([n] energies, angular-cap deficit) via the assignment-compacted
+    Pallas path (ops/aev_asn.py) — the round-3 production TPU path.
+
+    Two channel grids (coarse radial, fine angular), both with frozen
+    per-rebuild lane assignments; repulsion (ANI-1xnr) is evaluated from
+    the radial kernel's compact geometry, so reactive models run on the
+    fast path (cf. /root/reference/models/ani_models.py:40-53)."""
+    from ..ops import aev_asn as apasn
+
+    spec = pot.spec
+    assert spec.angular_caps is not None, (
+        "assignment path needs composition-derived angular_caps")
+    rgrid, rbins, rasn, rsect, agrid, abins, aasn, asect = asn_state
+    radial, e_rep = apasn.radial_aev_asn(
+        spec.aev, rgrid, rbins, rasn, pos, box, rsect,
+        repulsion=spec.repulsion)
+    angular, deficit = apasn.angular_aev_asn(
+        spec.aev, agrid, abins, aasn, pos, box, asect, spec.angular_caps)
+    local_mask = species >= 0
+    aev = jnp.concatenate([radial, angular], axis=1)
+    aev = jnp.where(local_mask[:, None], aev, 0.0)
+
+    with jax.named_scope("nn_forward"):
+        if species_counts is not None:
+            atomic = netmod.atomic_energies_sorted(
+                spec.net, pot.params, species_counts, aev)
+        else:
+            atomic = netmod.atomic_energies_masked(
+                spec.net, pot.params, species, aev)
+        e = netmod.ensemble_energies(atomic)
+    e = e + spec.shifter(species, dtype=e.dtype)
+    if spec.repulsion is not None:
+        e = e + e_rep
+    return jnp.where(local_mask, e, 0.0), deficit
+
+
+def energy_forces_virial_asn(
+    pot, species, pos, box, asn_state, species_counts=None,
+):
+    """(E, F, W, deficit) via the assignment-compacted Pallas path."""
+
+    def deformed_energy(eps, pos_):
+        # additive form: exact at eps = 0 under any matmul precision (see
+        # energy_forces_virial)
+        pos_d = pos_ + pos_ @ eps
+        box_d = nbops.Box(h=box.h + box.h @ eps, origin=box.origin)
+        e, deficit = atomic_energies_asn(
+            pot, species, pos_d, box_d, asn_state, species_counts)
+        return jnp.sum(e), deficit
+
+    eps0 = jnp.zeros((3, 3), pos.dtype)
+    (e, deficit), (deps, dpos) = jax.value_and_grad(
+        deformed_energy, argnums=(0, 1), has_aux=True)(eps0, pos)
+    virial = -0.5 * (deps + deps.T)
+    return e, -dpos, virial, deficit
+
+
 def energy_forces_virial_mirror(
     pot, species, pos, box, nbrs, species_counts=None, local_mask=None,
     cellroll=None,

@@ -1,0 +1,974 @@
+"""Assignment-compacted Pallas AEV kernels (the round-3 fast path).
+
+The round-2 kernels (ops/aev_pallas.py) evaluate pair terms on the FULL
+candidate window — (2s+1)^3 * cap slots per center, ~20x the true pair
+count (docs/DESIGN.md "honest accounting"), because TPUs cannot gather
+neighbor data per-element at speed and the window is the only gather-free
+candidate structure. This module cuts that padding with a layer the round-2
+design lacked: a *frozen per-rebuild lane assignment* compacted through
+Mosaic's per-vreg dynamic gather.
+
+  * At rebuild, a Pallas kernel ranks each center's window lanes within
+    (cutoff + skin) into per-species compact sections, emitting
+      idx [NC, cap, kpad]  — window lane of the k-th kept neighbor
+      inv [NC, cap, wpad]  — compact lane of window lane w (dead: kpad-1)
+    The rank is one triangular-ones matmul (MXU); the idx extraction is a
+    one-hot sweep that runs once per rebuild interval, not per step.
+
+  * Per step, kernels read candidate coordinates through `idx` with
+    `jnp.take_along_axis`, which Mosaic lowers to `tpu.dynamic_gather` —
+    but ONLY within a single (8, 128) vreg tile (measured: wider shapes
+    fail to compile). W-wide windows are therefore gathered per 128-lane
+    chunk with in-chunk selects (_gather_lanes): ~4 ops per window slot
+    instead of the one-hot form's 2*K ops — the change that moves the
+    radial basis and the angular pair blocks from W window lanes to
+    ~true-pair compact lanes.
+
+  * The angular channel re-compacts per step WITHIN the exact cutoff from
+    the frozen (cutoff + skin) superset — a tiny in-kernel one-hot over
+    kpad lanes — so angular pair blocks stay as tight as the round-2
+    per-step compaction while the heavy window->compact move is frozen.
+    The per-step within-cutoff cap check (deficit) is retained.
+
+  * Backward: gamma on compact lanes; center force = lane reduction;
+    neighbor ("wing") force decompacted to window lanes via `inv` gathers
+    and folded back with the static rolls of ops/aev_pallas._fold_wing;
+    the box cotangent contracts wrap shifts gathered per compact lane
+    (offset id = idx // cap, one vreg-local gather per axis).
+
+  * The radial kernel optionally emits XTB repulsion energies from the
+    same compact geometry (2 exps/pair), unlocking the reference's
+    reactive models (ANI-1xnr + RepulsionXTB,
+    /root/reference/models/ani_models.py:40-53) on the fast path.
+
+Numerical contract: matches the generic oracle (models/aev.py) to f32/f64
+summation order, same as ops/aev_pallas (tests/test_aev_asn.py). Skin
+semantics are the mirror path's: assignments are valid while no atom moves
+more than skin/2 from its rebuild position (LAMMPS `check yes` handles
+violations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import cell_roll as crmod
+from .aev_pallas import (
+    _T_ROWS,
+    _angular_consts,
+    _angular_pair_terms,
+    _arm_reduce,
+    _candidates,
+    _center_spec,
+    _fold_wing,
+    _interpret_default,
+    _pad_rows,
+    _pair_blocks,
+    _radial_consts,
+    _shell_offsets,
+    _to_grid_rows,
+    _wrap_shift_tables,
+)
+
+_LANE = 128
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Assignment:
+    """Frozen per-rebuild window-lane assignment for one AEV channel."""
+
+    idx: jax.Array  # [NC, cap, kpad] int32; dead = wpad
+    inv: jax.Array  # [NC, cap, wpad] int32; dead = kpad - 1
+    ovf: jax.Array  # [] dtype: max over rows/species of (count - k_s); > 0
+    # means a section overflowed at rebuild (regrow sections and retry)
+
+
+def _sec_offsets(sections):
+    """sections ((species, k_s), ...) -> lane offsets + total."""
+    offs, off = [], 0
+    for s, k in sections:
+        offs.append(off)
+        off += k
+    return tuple(offs), off
+
+
+def _round_lane(n: int) -> int:
+    return -(-n // _LANE) * _LANE
+
+
+def _gather_lanes(src, iv, out_chunks):
+    """out[r, k] = src[r, iv[r, k]] with src [R, wpad], iv [R, kc*128].
+
+    Mosaic's dynamic_gather works per 128-lane vreg, so the gather runs
+    per (output vreg, source vreg) pair with in-chunk selects. Indices
+    == wpad (dead) match no chunk and yield 0."""
+    r, wpad = src.shape
+    zero = jnp.zeros((), src.dtype)
+    outs = []
+    for kc in range(out_chunks):
+        ivc = iv[:, kc * _LANE:(kc + 1) * _LANE]
+        acc = jnp.zeros((r, _LANE), src.dtype)
+        for c in range(wpad // _LANE):
+            lo = c * _LANE
+            g = jnp.take_along_axis(src[:, lo:lo + _LANE],
+                                    jnp.clip(ivc - lo, 0, _LANE - 1),
+                                    axis=1)
+            acc = acc + jnp.where((ivc >= lo) & (ivc < lo + _LANE), g, zero)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+
+def _bcast_rows(plane, cap):
+    """[T, wpad] -> [T*cap, wpad] (each cell's plane shared by its slots)."""
+    t, wpad = plane.shape
+    return jnp.broadcast_to(plane[:, None, :], (t, cap, wpad)).reshape(
+        t * cap, wpad)
+
+
+def _gather_window(plane, iv, cap, kpad):
+    """Gather [T, wpad] window plane by [R, kpad] indices -> [R, kpad]."""
+    return _gather_lanes(_bcast_rows(plane, cap), iv, kpad // _LANE)
+
+
+def _prep_asn(grid, inv_bins, csp_grid, pos, h, wpad):
+    """Kernel inputs: center planes [NCp, cap] + lane-padded candidate
+    planes [NCp, wpad] (+ center species plane). shell=1 window."""
+    nx, ny, nz = grid.ncells
+    cap = grid.cap
+    nc = grid.total
+    pos4g = _to_grid_rows(inv_bins, pos, 1e6)  # [NC, cap, 3]
+    pos4 = pos4g.reshape(nx, ny, nz, cap, 3)
+    csp4 = csp_grid.reshape(nx, ny, nz, cap)
+    cp, cs = _candidates(grid, pos4, csp4, h, 1)
+
+    nc_pad = -(-nc // _T_ROWS) * _T_ROWS
+    w = 27 * cap
+
+    def lanes(x, park):
+        return jnp.pad(x, ((0, 0), (0, wpad - w)), constant_values=park)
+
+    px = _pad_rows(pos4g[..., 0], nc_pad, 1e6)
+    py = _pad_rows(pos4g[..., 1], nc_pad, 1e6)
+    pz = _pad_rows(pos4g[..., 2], nc_pad, 1e6)
+    pcs = _pad_rows(csp_grid, nc_pad, -1)
+    cx = _pad_rows(lanes(cp[..., 0], -1e6), nc_pad, -1e6)
+    cy = _pad_rows(lanes(cp[..., 1], -1e6), nc_pad, -1e6)
+    cz = _pad_rows(lanes(cp[..., 2], -1e6), nc_pad, -1e6)
+    csp = _pad_rows(lanes(cs, -1), nc_pad, -1)
+    return nc_pad, px, py, pz, pcs, cx, cy, cz, csp
+
+
+def _win_spec(wpad):
+    return pl.BlockSpec((_T_ROWS, wpad), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _out1_spec(a, b):
+    return pl.BlockSpec((_T_ROWS, a, b), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _acc1_spec():
+    return pl.BlockSpec((8, 128), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _cen_spec(cap):
+    return pl.BlockSpec((_T_ROWS, cap), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _k3_spec(a, b):
+    return pl.BlockSpec((_T_ROWS, a, b), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+# ---------------------------------------------------------------------------
+# Assignment build (once per rebuild)
+# ---------------------------------------------------------------------------
+
+
+def _build_asn_kernel(px, py, pz, cx, cy, cz, cs, idx_o, inv_o, ovf,
+                      *, cap, sections, kpad, wpad, keep_r, dtype):
+    """Rank window lanes within keep_r into per-species compact sections."""
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+    offs, k_total = _sec_offsets(sections)
+
+    pxv = px[...].reshape(r_rows, 1)
+    pyv = py[...].reshape(r_rows, 1)
+    pzv = pz[...].reshape(r_rows, 1)
+    cxb = _bcast_rows(cx[...], cap)
+    cyb = _bcast_rows(cy[...], cap)
+    czb = _bcast_rows(cz[...], cap)
+    csb = _bcast_rows(cs[...], cap)
+    ax = pxv - cxb
+    ay = pyv - cyb
+    az = pzv - czb
+    dist = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-12))
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, wpad), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, wpad), 1)
+    is_self = (lane == 13 * cap + sub).reshape(r_rows, wpad)
+    in_keep = (dist <= keep_r) & ~is_self
+
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, wpad), 0)
+    col_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, wpad), 1)
+    tri = (lane_w < col_w).astype(dtype)
+
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (r_rows, wpad), 1)
+    w_iota = lane2.astype(dtype)
+    inv_acc = jnp.full((r_rows, wpad), float(kpad - 1), dtype)
+    idx_cols = []
+    deficit = jnp.full((), -(2.0 ** 20), dtype)
+    for (s, k_s), off in zip(sections, offs):
+        m = (in_keep & (csb == s)).astype(dtype)
+        count = jnp.sum(m, axis=-1)
+        deficit = jnp.maximum(deficit, jnp.max(count) - k_s)
+        rank = jax.lax.dot_general(
+            m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)
+        inv_acc = jnp.where(m > 0.5, rank + float(off), inv_acc)
+        for a in range(k_s):
+            sel = (rank == float(a)) * m
+            idx_cols.append(jnp.sum(sel * w_iota, axis=-1)[:, None]
+                            + (1.0 - jnp.max(sel, axis=-1))[:, None]
+                            * float(wpad))
+    for _ in range(kpad - k_total):
+        idx_cols.append(jnp.full((r_rows, 1), float(wpad), dtype))
+
+    idx_o[...] = jnp.concatenate(idx_cols, axis=-1).astype(
+        jnp.int32).reshape(t_rows, cap, kpad)
+    inv_o[...] = inv_acc.astype(jnp.int32).reshape(t_rows, cap, wpad)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ovf[...] = jnp.full_like(ovf[...], -(2.0 ** 20))
+
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    ovf[...] = jnp.maximum(ovf[...], jnp.where(
+        (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
+
+
+def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
+                     interpret=None):
+    """Assignment over grid's 27-cell window for lanes within keep_radius.
+
+    `sections`: static ((species, k_s), ...) for present species; compact
+    lanes [off_s, off_s + k_s) hold species s neighbors ranked by window
+    lane order. `kpad`: multiple of 128, sum(k_s) <= kpad - 1 (last lane
+    reserved as the dead slot for the inverse map)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    offs, k_total = _sec_offsets(sections)
+    assert kpad % _LANE == 0 and k_total <= kpad - 1, (k_total, kpad)
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, bins.inv, bins.species_grid, pos, box.h, wpad)
+    kern = functools.partial(
+        _build_asn_kernel, cap=cap, sections=sections, kpad=kpad,
+        wpad=wpad, keep_r=keep_radius, dtype=dtype)
+    idx, inv, ovf = pl.pallas_call(
+        kern,
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 4,
+        out_specs=[_k3_spec(cap, kpad), _k3_spec(cap, wpad), _acc1_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((nc_pad, cap, wpad), jnp.int32),
+            jax.ShapeDtypeStruct((8, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, cx, cy, cz, csp)
+    return Assignment(idx=idx[:nc], inv=inv[:nc], ovf=ovf[0, 0])
+
+
+# ---------------------------------------------------------------------------
+# Shared per-step pieces
+# ---------------------------------------------------------------------------
+
+
+def _compact_geometry(px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad):
+    """Gather candidate coords through the assignment; return compact-lane
+    geometry (ax, ay, az [R, kpad], dist, valid) with R = T*cap."""
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+    iv = idxr[...].reshape(r_rows, kpad)
+    gx = _gather_window(cx[...], iv, cap, kpad)
+    gy = _gather_window(cy[...], iv, cap, kpad)
+    gz = _gather_window(cz[...], iv, cap, kpad)
+    ax = px[...].reshape(r_rows, 1) - gx
+    ay = py[...].reshape(r_rows, 1) - gy
+    az = pz[...].reshape(r_rows, 1) - gz
+    valid = iv < wpad
+    d2 = ax * ax + ay * ay + az * az
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    dist = jnp.where(valid, dist, 1e6)
+    return iv, ax, ay, az, dist, valid
+
+
+def _sec_masks(sections, r_rows, kpad, dtype):
+    """Static per-section lane masks [R, kpad] (f32) from lane iota."""
+    offs, _ = _sec_offsets(sections)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (r_rows, kpad), 1)
+    out = {}
+    for (s, k_s), off in zip(sections, offs):
+        out[s] = ((lane >= off) & (lane < off + k_s)).astype(dtype)
+    return out
+
+
+def _dh_from_compact(sh, iv, cap, kpad, gx, gy, gz, dtype):
+    """Box cotangent from compact lanes: dh[m, c] = -sum S_m (gamma u)_c.
+
+    The wrap shift of compact lane k is the shift of its window offset
+    id = idx // cap, gathered from the per-cell 27-entry table (one
+    vreg-local dynamic gather per axis)."""
+    t_rows = sh.shape[0]
+    r_rows = gx.shape[0]
+    o_k = jnp.clip(iv // cap, 0, _LANE - 1)
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    dh_acc = jnp.zeros((8, 128), dtype)
+    for m in range(3):
+        table = jnp.pad(sh[:, :, m], ((0, 0), (0, _LANE - sh.shape[1])))
+        table_b = _bcast_rows(table, cap)  # [R, 128]
+        s_m = jnp.zeros((r_rows, kpad), dtype)
+        for kc in range(kpad // _LANE):
+            g = jnp.take_along_axis(table_b,
+                                    o_k[:, kc * _LANE:(kc + 1) * _LANE],
+                                    axis=1)
+            s_m = jax.lax.dynamic_update_slice(s_m, g, (0, kc * _LANE))
+        for c, g_c in enumerate((gx, gy, gz)):
+            v = -jnp.sum(s_m * g_c)
+            dh_acc = dh_acc + jnp.where((rows8 == m) & (cols8 == c), v, 0.0)
+    return dh_acc
+
+
+def _wing_center(gx, gy, gz, inv_r, t_rows, cap, kpad, wpad, fcen, wing):
+    """Emit center-role force (lane reduce) and window-lane wing force
+    (decompact via the inverse map) into the output refs."""
+    r_rows = t_rows * cap
+    fcen[:, 0, :] = jnp.sum(gx, axis=-1).reshape(t_rows, cap)
+    fcen[:, 1, :] = jnp.sum(gy, axis=-1).reshape(t_rows, cap)
+    fcen[:, 2, :] = jnp.sum(gz, axis=-1).reshape(t_rows, cap)
+    invv = inv_r[...].reshape(r_rows, wpad)
+    for c, g_c in enumerate((gx, gy, gz)):
+        w_c = _gather_lanes(g_c, invv, wpad // _LANE)  # [R, wpad]
+        wing[0, :, c, :] = -jnp.sum(w_c.reshape(t_rows, cap, wpad), axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Radial channel (+ optional XTB repulsion side channel)
+# ---------------------------------------------------------------------------
+
+_ANGSTROM2BOHR = 1.8897261258369282
+
+
+def _rep_consts(rep, sections, dtype):
+    """Per-section (alpha, zeff) lane constants + center tables."""
+    alpha = {s: float(rep.alpha[s]) for s, _ in sections}
+    zeff = {s: float(rep.zeff[s]) for s, _ in sections}
+    return alpha, zeff
+
+
+def _rep_pair(rep, dist, a_ij, z_ij, valid, dtype):
+    """Repulsion pair energy (Hartree) + d/d dist, on compact lanes.
+
+    E_pair = z_ij / r_b * exp(-a_ij r_b^kf) * env(r), r_b in bohr
+    (models/repulsion.py contract; kf = 1.5, smooth envelope)."""
+    rc = rep.cutoff
+    in_cut = valid & (dist < rc)
+    r_b = dist * _ANGSTROM2BOHR
+    safe = jnp.where(in_cut, r_b, 1.0)
+    kf = rep.k_f
+    r_kf = jnp.exp(kf * jnp.log(safe)) if kf != 1.5 else safe * jnp.sqrt(
+        safe)
+    core = z_ij / safe * jnp.exp(-a_ij * r_kf)
+    # d core / d r_b = core * (-1/r_b - a_ij kf r_b^{kf-1})
+    dcore_db = core * (-1.0 / safe - a_ij * kf * r_kf / safe)
+    x = dist / rc
+    if rep.cutoff_fn == "cosine":
+        env = 0.5 * jnp.cos(jnp.pi * x) + 0.5
+        denv = -0.5 * jnp.pi / rc * jnp.sin(jnp.pi * x)
+    elif rep.cutoff_fn == "none":
+        env = jnp.ones_like(x)
+        denv = jnp.zeros_like(x)
+    else:  # smooth
+        x2 = jnp.clip(x * x, 0.0, 1.0 - 1e-6)
+        u = 1.0 - x2
+        env = jnp.exp(1.0 - 1.0 / u)
+        denv = env * (-2.0 * x / (rc * u * u))
+    e = jnp.where(in_cut, core * env, 0.0)
+    de = jnp.where(in_cut, dcore_db * _ANGSTROM2BOHR * env + core * denv,
+                   0.0)
+    return 0.5 * e, 0.5 * de  # half per directed pair
+
+
+def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out, erep,
+                           *, spec, rep, cap, sections, kpad, wpad, dtype):
+    eta, mu0, delta, steps = _radial_consts(spec, dtype)
+    rc = spec.radial_cutoff
+    n_shf = len(spec.shf_r)
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    masks = _sec_masks(sections, r_rows, kpad, dtype)
+    in_cut = valid & (dist <= rc)
+    fc = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
+                   jnp.zeros((), dtype))
+    x = jnp.minimum(dist, rc + 1.0) - mu0
+    pref = 0.25 * fc
+
+    cols = {}
+    for k in range(n_shf):
+        xk = x - k * delta
+        t = pref * jnp.exp(-eta * xk * xk)
+        for s, _ in sections:
+            cols[s * n_shf + k] = jnp.sum(t * masks[s], axis=-1)
+    out[...] = jnp.zeros_like(out[...])
+    for col, v in cols.items():
+        out[:, :, col] = v.reshape(t_rows, cap)
+
+    if rep is None:
+        erep[...] = jnp.zeros_like(erep[...])
+    else:
+        alpha, zeff = _rep_consts(rep, sections, dtype)
+        a_j = sum(masks[s] * alpha[s] for s, _ in sections)
+        z_j = sum(masks[s] * zeff[s] for s, _ in sections)
+        pcsv = pcs[...].reshape(r_rows, 1)
+        a_i = jnp.zeros((r_rows, 1), dtype)
+        z_i = jnp.zeros((r_rows, 1), dtype)
+        for s, _ in sections:
+            sm = (pcsv == s).astype(dtype)
+            a_i = a_i + sm * alpha[s]
+            z_i = z_i + sm * zeff[s]
+        a_ij = jnp.sqrt(jnp.maximum(a_i * a_j, 1e-12))
+        z_ij = z_i * z_j
+        e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
+        erep[...] = jnp.sum(e, axis=-1).reshape(t_rows, cap)
+
+
+def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
+                           grep, sh, fcen, wing, dh,
+                           *, spec, rep, cap, sections, kpad, wpad, dtype):
+    eta, mu0, delta, steps = _radial_consts(spec, dtype)
+    rc = spec.radial_cutoff
+    n_shf = len(spec.shf_r)
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    masks = _sec_masks(sections, r_rows, kpad, dtype)
+    in_cut = valid & (dist <= rc)
+    fc = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
+                   jnp.zeros((), dtype))
+    dfc = jnp.where(in_cut,
+                    (-0.5 * math.pi / rc) * jnp.sin(dist * (math.pi / rc)),
+                    jnp.zeros((), dtype))
+    x = jnp.minimum(dist, rc + 1.0) - mu0
+    gav = ga[...].reshape(r_rows, -1)
+
+    gamma = jnp.zeros((r_rows, kpad), dtype)
+    for k in range(n_shf):
+        xk = x - k * delta
+        e = jnp.exp(-eta * xk * xk)
+        db = 0.25 * e * (dfc - (2.0 * eta) * xk * fc)
+        for s, _ in sections:
+            g_col = gav[:, s * n_shf + k]
+            gamma = gamma + db * (g_col[:, None] * masks[s])
+
+    if rep is not None:
+        alpha, zeff = _rep_consts(rep, sections, dtype)
+        a_j = sum(masks[s] * alpha[s] for s, _ in sections)
+        z_j = sum(masks[s] * zeff[s] for s, _ in sections)
+        pcsv = pcs[...].reshape(r_rows, 1)
+        a_i = jnp.zeros((r_rows, 1), dtype)
+        z_i = jnp.zeros((r_rows, 1), dtype)
+        for s, _ in sections:
+            sm = (pcsv == s).astype(dtype)
+            a_i = a_i + sm * alpha[s]
+            z_i = z_i + sm * zeff[s]
+        a_ij = jnp.sqrt(jnp.maximum(a_i * a_j, 1e-12))
+        z_ij = z_i * z_j
+        _, de = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
+        gamma = gamma + grep[...].reshape(r_rows, 1) * de
+
+    inv_d = 1.0 / dist
+    gx = gamma * ax * inv_d
+    gy = gamma * ay * inv_d
+    gz = gamma * az * inv_d
+
+    _wing_center(gx, gy, gz, inv_r, t_rows, cap, kpad, wpad, fcen, wing)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh[...] = jnp.zeros_like(dh[...])
+
+    dh[...] = dh[...] + _dh_from_compact(sh[...][0], iv, cap, kpad,
+                                         gx, gy, gz, dtype)
+
+
+def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
+                     inv_bins, csp_grid, cell, slot, aidx):
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, inv_bins, csp_grid, pos, h, wpad)
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+
+    srl = spec.num_species * len(spec.shf_r) * len(spec.eta_r)
+    kern = functools.partial(
+        _radial_fwd_asn_kernel, spec=spec, rep=rep, cap=cap,
+        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    out, erep = pl.pallas_call(
+        kern,
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_cen_spec(cap)] * 4 + [_win_spec(wpad)] * 3
+        + [_k3_spec(cap, kpad)],
+        out_specs=[_out1_spec(cap, srl), _cen_spec(cap)],
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, srl), dtype),
+                   jax.ShapeDtypeStruct((nc_pad, cap), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, pcs, cx, cy, cz, aidx_p)
+    return out[:nc][cell, slot], erep[:nc][cell, slot]
+
+
+def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
+                         inv_bins, csp_grid, cell, slot, aidx, ainv,
+                         ga_flat, grep_flat):
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, inv_bins, csp_grid, pos, h, wpad)
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+    ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
+    ga = _pad_rows(_to_grid_rows(inv_bins, ga_flat, 0.0), nc_pad, 0.0)
+    grep = _pad_rows(_to_grid_rows(inv_bins, grep_flat, 0.0), nc_pad, 0.0)
+    sh = _wrap_shift_tables(grid, 1, dtype)  # [NC, 27, 3]
+    sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
+        1, nc_pad, 27, 3)
+
+    srl = ga_flat.shape[-1]
+    kern = functools.partial(
+        _radial_bwd_asn_kernel, spec=spec, rep=rep, cap=cap,
+        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    fcen, wing, dh_pad = pl.pallas_call(
+        kern,
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_cen_spec(cap)] * 4 + [_win_spec(wpad)] * 3
+        + [_k3_spec(cap, kpad), _k3_spec(cap, wpad),
+           _out1_spec(cap, srl), _cen_spec(cap),
+           pl.BlockSpec((1, _T_ROWS, 27, 3), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[_out1_spec(3, cap),
+                   pl.BlockSpec((1, _T_ROWS, 3, wpad),
+                                lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   _acc1_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
+            jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
+            jax.ShapeDtypeStruct((8, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, pcs, cx, cy, cz, aidx_p, ainv_p, ga, grep, sh)
+
+    dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
+    return dpos, dh_pad[:3, :3]
+
+
+def _fold_wing_pad(grid, fcen, wing, nc, wpad):
+    """_fold_wing over lane-padded wings (drop the pad lanes first)."""
+    w = 27 * grid.cap
+    return _fold_wing(grid, 1, 1, fcen, wing[:, :, :, :w], nc)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _radial_asn_flat(spec, grid, sections, kpad, rep, interpret, pos, h,
+                     inv_bins, csp_grid, cell, slot, aidx, ainv):
+    return _radial_asn_impl(spec, grid, sections, kpad, rep, interpret,
+                            pos, h, inv_bins, csp_grid, cell, slot, aidx)
+
+
+def _radial_asn_fwd(spec, grid, sections, kpad, rep, interpret, pos, h,
+                    inv_bins, csp_grid, cell, slot, aidx, ainv):
+    out = _radial_asn_impl(spec, grid, sections, kpad, rep, interpret,
+                           pos, h, inv_bins, csp_grid, cell, slot, aidx)
+    return out, (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv)
+
+
+def _radial_asn_bwd(spec, grid, sections, kpad, rep, interpret, res, g):
+    ga, grep = g
+    pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv = res
+    dpos, dh = _radial_asn_bwd_impl(
+        spec, grid, sections, kpad, rep, interpret, pos, h, inv_bins,
+        csp_grid, cell, slot, aidx, ainv, ga, grep)
+    return dpos, dh, None, None, None, None, None, None
+
+
+_radial_asn_flat.defvjp(_radial_asn_fwd, _radial_asn_bwd)
+
+
+def radial_aev_asn(aev_spec, grid, bins, asn, pos, box, sections,
+                   repulsion=None, interpret=None):
+    """([n, S*R] radial AEV, [n] repulsion energies [Hartree]).
+
+    Drop-in for radial_aev_pallas on the assignment path; `sections` is
+    the static per-species compact layout used at build_assignment time.
+    Differentiable w.r.t. pos and box.h (custom VJP)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    kpad = asn.idx.shape[-1]
+    return _radial_asn_flat(aev_spec, grid, sections, kpad, repulsion,
+                            interpret, pos, box.h, bins.inv,
+                            bins.species_grid, bins.cell, bins.slot,
+                            asn.idx, asn.inv)
+
+
+# ---------------------------------------------------------------------------
+# Angular channel (frozen superset + per-step exact re-compaction)
+# ---------------------------------------------------------------------------
+
+
+def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
+                    t_rows, cap, kpad, dtype):
+    """Per-step within-cutoff compaction on frozen compact lanes.
+
+    Returns (slots dict s -> per-slot dict + 'sels', deficit)."""
+    rca = spec.angular_cutoff
+    r_rows = t_rows * cap
+    masks = _sec_masks(sections, r_rows, kpad, dtype)
+    in_ang = valid & (dist <= rca)
+
+    lane_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, kpad), 0)
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, kpad), 1)
+    tri = (lane_k < col_k).astype(dtype)
+
+    big = jnp.asarray(2.0 * rca + 10.0, dtype)
+    out = {}
+    deficit = jnp.full((), -(2.0 ** 20), dtype)
+    for s, _ in sections:
+        a_s = caps[s]
+        if a_s == 0:
+            continue
+        m = in_ang.astype(dtype) * masks[s]
+        count = jnp.sum(m, axis=-1)
+        deficit = jnp.maximum(deficit, jnp.max(count) - a_s)
+        rank = jax.lax.dot_general(
+            m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=dtype)
+        sels = [((rank == float(a)) * m) for a in range(a_s)]
+
+        def compact(x):
+            cols = [jnp.sum(sel * x, axis=-1)[:, None] for sel in sels]
+            return jnp.concatenate(cols, axis=-1).reshape(
+                t_rows, cap, a_s)
+
+        cax, cay, caz = compact(ax), compact(ay), compact(az)
+        cd = jnp.sqrt(jnp.maximum(
+            cax * cax + cay * cay + caz * caz, 1e-12))
+        mask = cd > 1e-6
+        d_safe = jnp.where(mask, cd, big)
+        inv = 1.0 / d_safe
+        fc = jnp.where(mask & (cd <= rca),
+                       0.5 * jnp.cos(cd * (math.pi / rca)) + 0.5,
+                       jnp.zeros((), dtype))
+        dfc = jnp.where(
+            mask & (cd <= rca),
+            (-0.5 * math.pi / rca) * jnp.sin(cd * (math.pi / rca)),
+            jnp.zeros((), dtype))
+        out[s] = dict(ux=cax * inv, uy=cay * inv, uz=caz * inv,
+                      d=d_safe, fc=fc, dfc=dfc, mask=mask, sels=sels)
+    return out, deficit
+
+
+def _angular_fwd_asn_kernel(px, py, pz, cx, cy, cz, idxr, out, ovf,
+                            *, spec, cap, caps, sections, kpad, wpad,
+                            dtype):
+    consts = _angular_consts(spec, dtype)
+    nsz = len(spec.shf_z)
+    t_rows = px.shape[0]
+
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    slots, deficit = _stage2_compact(
+        spec, sections, caps, iv, ax, ay, az, dist, valid, t_rows, cap,
+        kpad, dtype)
+
+    out[...] = jnp.zeros_like(out[...])
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
+        if s1 not in slots or s2 not in slots:
+            continue
+        pt = _angular_pair_terms(spec, consts, slots[s1], slots[s2],
+                                 a1, a2, same, dtype)
+        scale = 1.0 if same else 2.0
+        for j, e in enumerate(pt["e_j"]):
+            f2 = pt["fc12"] * e
+            for m, f1 in enumerate(pt["f1_m"]):
+                out[:, :, ch0 + j * nsz + m] = scale * jnp.sum(
+                    f2 * f1, axis=-1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ovf[...] = jnp.full_like(ovf[...], -(2.0 ** 20))
+
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    ovf[...] = jnp.maximum(ovf[...], jnp.where(
+        (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
+
+
+def _angular_bwd_asn_kernel(px, py, pz, cx, cy, cz, idxr, inv_r, ga, sh,
+                            fcen, wing, dh, *, spec, cap, caps, sections,
+                            kpad, wpad, dtype):
+    consts = _angular_consts(spec, dtype)
+    eta, zeta, mu0, delta, steps, cos_m, sin_m = consts
+    rca = spec.angular_cutoff
+    nsz = len(spec.shf_z)
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    slots, _ = _stage2_compact(
+        spec, sections, caps, iv, ax, ay, az, dist, valid, t_rows, cap,
+        kpad, dtype)
+    gav = ga[...]
+
+    gacc = {s: dict(ux=jnp.zeros_like(sl["d"]), uy=jnp.zeros_like(sl["d"]),
+                    uz=jnp.zeros_like(sl["d"]), d=jnp.zeros_like(sl["d"]),
+                    fc=jnp.zeros_like(sl["d"]))
+            for s, sl in slots.items()}
+
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
+        if s1 not in slots or s2 not in slots:
+            continue
+        sl1, sl2 = slots[s1], slots[s2]
+        pt = _angular_pair_terms(spec, consts, sl1, sl2, a1, a2, same,
+                                 dtype)
+        scale = 1.0 if same else 2.0
+        tq = pt["fc12"].shape
+
+        df2 = [jnp.zeros(tq, dtype) for _ in spec.shf_a]
+        dcos = jnp.zeros(tq, dtype)
+        for m in range(nsz):
+            f1 = pt["f1_m"][m]
+            df1_m = jnp.zeros(tq, dtype)
+            for j in range(len(spec.shf_a)):
+                g_jm = gav[:, :, ch0 + j * nsz + m] * scale
+                f2 = pt["fc12"] * pt["e_j"][j]
+                df1_m = df1_m + g_jm[:, :, None] * f2
+                df2[j] = df2[j] + g_jm[:, :, None] * f1
+            dbase = df1_m * (zeta / pt["base_m"][m]) * f1
+            dcos = dcos + dbase * 0.5 * (
+                cos_m[m] - pt["c95"] / pt["sv"] * sin_m[m]) * 0.95
+
+        drmean = jnp.zeros(tq, dtype)
+        dfc12 = jnp.zeros(tq, dtype)
+        for j in range(len(spec.shf_a)):
+            e = pt["e_j"][j]
+            drmean = drmean + df2[j] * pt["fc12"] * e * (
+                -2.0 * eta) * (pt["x2"] - j * delta)
+            dfc12 = dfc12 + df2[j] * e
+        drmean = jnp.where(pt["d1p"] + pt["d2p"] <= 2.0 * (rca + 1.0),
+                           drmean, jnp.zeros((), dtype))
+        if same:
+            qi = jax.lax.broadcasted_iota(jnp.int32, tq, 2)
+            diag = (qi // a2) == (qi % a2)
+            dfc12 = jnp.where(diag, jnp.zeros((), dtype), dfc12)
+
+        u1x, u1y, u1z = pt["u1"]
+        u2x, u2y, u2z = pt["u2"]
+        terms = [
+            (s1, 1, dict(ux=dcos * u2x, uy=dcos * u2y, uz=dcos * u2z,
+                         d=0.5 * drmean, fc=dfc12 * pt["fc2p"])),
+            (s2, 2, dict(ux=dcos * u1x, uy=dcos * u1y, uz=dcos * u1z,
+                         d=0.5 * drmean, fc=dfc12 * pt["fc1p"])),
+        ]
+        for s_arm, arm, parts in terms:
+            for key, val in parts.items():
+                gacc[s_arm][key] = gacc[s_arm][key] + _arm_reduce(
+                    val, a1, a2, arm)
+
+    # per-slot cotangents -> frozen compact lanes (stage-2 transpose)
+    gtx = jnp.zeros((r_rows, kpad), dtype)
+    gty = jnp.zeros((r_rows, kpad), dtype)
+    gtz = jnp.zeros((r_rows, kpad), dtype)
+    for s, sl in slots.items():
+        g = gacc[s]
+        inv = 1.0 / sl["d"]
+        gu_dot_u = (g["ux"] * sl["ux"] + g["uy"] * sl["uy"]
+                    + g["uz"] * sl["uz"])
+        g_cd = jnp.where(sl["mask"],
+                         g["d"] + g["fc"] * sl["dfc"] - gu_dot_u * inv,
+                         jnp.zeros((), dtype))
+        gvx = jnp.where(sl["mask"], g["ux"] * inv, 0.0) + g_cd * sl["ux"]
+        gvy = jnp.where(sl["mask"], g["uy"] * inv, 0.0) + g_cd * sl["uy"]
+        gvz = jnp.where(sl["mask"], g["uz"] * inv, 0.0) + g_cd * sl["uz"]
+        a_s = gvx.shape[-1]
+        sels = sl["sels"]
+
+        def decompact(gq):
+            g2 = gq.reshape(r_rows, a_s)
+            acc = jnp.zeros((r_rows, kpad), dtype)
+            for a in range(a_s):
+                acc = acc + sels[a] * g2[:, a:a + 1]
+            return acc
+
+        gtx = gtx + decompact(gvx)
+        gty = gty + decompact(gvy)
+        gtz = gtz + decompact(gvz)
+
+    _wing_center(gtx, gty, gtz, inv_r, t_rows, cap, kpad, wpad, fcen,
+                 wing)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh[...] = jnp.zeros_like(dh[...])
+
+    dh[...] = dh[...] + _dh_from_compact(sh[...][0], iv, cap, kpad,
+                                         gtx, gty, gtz, dtype)
+
+
+def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
+                      inv_bins, csp_grid, cell, slot, aidx):
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, inv_bins, csp_grid, pos, h, wpad)
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+
+    al = spec.angular_length
+    kern = functools.partial(
+        _angular_fwd_asn_kernel, spec=spec, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    out, ovf = pl.pallas_call(
+        kern,
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 3
+        + [_k3_spec(cap, kpad)],
+        out_specs=[_out1_spec(cap, al), _acc1_spec()],
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, al), dtype),
+                   jax.ShapeDtypeStruct((8, 128), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, cx, cy, cz, aidx_p)
+    return out[:nc][cell, slot], ovf[0, 0]
+
+
+def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
+                          h, inv_bins, csp_grid, cell, slot, aidx, ainv,
+                          ga_flat):
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, inv_bins, csp_grid, pos, h, wpad)
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+    ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
+    ga = _pad_rows(_to_grid_rows(inv_bins, ga_flat, 0.0), nc_pad, 0.0)
+    sh = _wrap_shift_tables(grid, 1, dtype)
+    sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
+        1, nc_pad, 27, 3)
+
+    al = ga_flat.shape[-1]
+    kern = functools.partial(
+        _angular_bwd_asn_kernel, spec=spec, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    fcen, wing, dh_pad = pl.pallas_call(
+        kern,
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 3
+        + [_k3_spec(cap, kpad), _k3_spec(cap, wpad),
+           _out1_spec(cap, al),
+           pl.BlockSpec((1, _T_ROWS, 27, 3), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[_out1_spec(3, cap),
+                   pl.BlockSpec((1, _T_ROWS, 3, wpad),
+                                lambda i: (0, i, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   _acc1_spec()],
+        out_shape=[
+            jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
+            jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
+            jax.ShapeDtypeStruct((8, 128), dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, cx, cy, cz, aidx_p, ainv_p, ga, sh)
+
+    dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
+    return dpos, dh_pad[:3, :3]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _angular_asn_flat(spec, grid, sections, kpad, caps, interpret, pos, h,
+                      inv_bins, csp_grid, cell, slot, aidx, ainv):
+    return _angular_asn_impl(spec, grid, sections, kpad, caps, interpret,
+                             pos, h, inv_bins, csp_grid, cell, slot, aidx)
+
+
+def _angular_asn_fwd(spec, grid, sections, kpad, caps, interpret, pos, h,
+                     inv_bins, csp_grid, cell, slot, aidx, ainv):
+    out = _angular_asn_impl(spec, grid, sections, kpad, caps, interpret,
+                            pos, h, inv_bins, csp_grid, cell, slot, aidx)
+    return out, (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv)
+
+
+def _angular_asn_bwd(spec, grid, sections, kpad, caps, interpret, res, g):
+    ga, _ = g
+    pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv = res
+    dpos, dh = _angular_asn_bwd_impl(
+        spec, grid, sections, kpad, caps, interpret, pos, h, inv_bins,
+        csp_grid, cell, slot, aidx, ainv, ga)
+    return dpos, dh, None, None, None, None, None, None
+
+
+_angular_asn_flat.defvjp(_angular_asn_fwd, _angular_asn_bwd)
+
+
+def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
+                    interpret=None):
+    """([n, angular_length], deficit) over the frozen angular assignment.
+
+    `sections` sized for (Rca + skin); `caps` are the per-step
+    within-cutoff capacities (ANISpec.angular_caps). deficit > 0 means a
+    cap truncated real neighbors THIS step."""
+    if interpret is None:
+        interpret = _interpret_default()
+    kpad = asn.idx.shape[-1]
+    return _angular_asn_flat(aev_spec, grid, sections, kpad, tuple(caps),
+                             interpret, pos, box.h, bins.inv,
+                             bins.species_grid, bins.cell, bins.slot,
+                             asn.idx, asn.inv)

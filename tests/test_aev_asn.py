@@ -1,0 +1,255 @@
+"""Assignment-compacted Pallas kernels (ops/aev_asn.py) vs the oracle.
+
+Same parity pattern as tests/test_aev_pallas.py: interpret-mode kernels in
+f64 against the generic neighbor-matrix path, plus f32 production-dtype
+checks and force/box-cotangent parity through the custom VJPs."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import lammps_ani_tpu as lat
+from lammps_ani_tpu.io import lammps_data as ldio
+from lammps_ani_tpu.models import aev as aevmod
+from lammps_ani_tpu.models import repulsion as repmod
+from lammps_ani_tpu.ops import aev_asn as apasn
+from lammps_ani_tpu.ops import cell_roll as crmod
+from lammps_ani_tpu.ops import neighbors as nbops
+
+from .test_aev_pallas import _angular_reference
+from .test_cell_roll import _radial_reference, _system
+
+SKIN = 1.0
+
+
+def _measure_sections(species, pos, box, keep_r, num_species, pad=4):
+    """Per-species degrees within keep_r -> static sections."""
+    ghosts = nbops.build_ghosts(pos, box, keep_r, 16384,
+                                nbops.image_shifts(1))
+    nlist = nbops.build_neighbor_matrix_brute(pos, box, keep_r, 220, ghosts)
+    assert not bool(nlist.overflowed)
+    species_ext = nbops.extended_species(species, nlist.ghosts)
+    _, dist = nbops.neighbor_displacements(pos, box, nlist)
+    species_j = species_ext[nlist.idx]
+    mask = nlist.mask & (species_j >= 0) & (dist <= keep_r)
+    sections = []
+    for s in range(num_species):
+        deg = int(jnp.max(jnp.sum(mask & (species_j == s), axis=1)))
+        if deg:
+            sections.append((s, -(-(deg + 2) // pad) * pad))
+    return tuple(sections)
+
+
+def _grid_bins_asn(spec, species, pos, box, side, keep_r, cap=40):
+    grid = crmod.RollGrid.for_box(np.asarray(box.h), side, cap)
+    assert grid is not None
+    bins = crmod.build_bins(grid, pos, species, box)
+    assert int(bins.count_max) <= grid.cap
+    sections = _measure_sections(species, pos, box, keep_r,
+                                 spec.num_species)
+    kpad = -(-(sum(k for _, k in sections) + 1) // 128) * 128
+    asn = apasn.build_assignment(grid, bins, pos, box, sections, kpad,
+                                 keep_r, interpret=True)
+    assert float(asn.ovf) <= 0, float(asn.ovf)
+    return grid, bins, sections, asn
+
+
+def test_asn_radial_matches_oracle_f64():
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system()
+    ref = np.asarray(_radial_reference(spec, species, pos, box))
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, spec.radial_cutoff + SKIN,
+        spec.radial_cutoff + SKIN)
+    got, erep = apasn.radial_aev_asn(spec, grid, bins, asn, pos, box,
+                                     sections, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
+    np.testing.assert_array_equal(np.asarray(erep), 0.0)
+
+
+def test_asn_radial_f32():
+    spec = aevmod.ani2x_aev_spec()
+    species, pos64, box64, data = _system()
+    pos = pos64.astype(jnp.float32)
+    box = nbops.Box(h=box64.h.astype(jnp.float32),
+                    origin=box64.origin.astype(jnp.float32))
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, spec.radial_cutoff + SKIN,
+        spec.radial_cutoff + SKIN)
+    ref = np.asarray(_radial_reference(spec, species, pos, box))
+    got, _ = apasn.radial_aev_asn(spec, grid, bins, asn, pos, box,
+                                  sections, interpret=True)
+    assert np.asarray(got).dtype == np.float32
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-6, rtol=1e-5)
+
+
+def test_asn_radial_forces_and_box_cotangent():
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system()
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, spec.radial_cutoff + SKIN,
+        spec.radial_cutoff + SKIN)
+    w = jax.random.normal(jax.random.PRNGKey(0), (spec.radial_length,),
+                          jnp.float64)
+
+    def e_asn(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        out, _ = apasn.radial_aev_asn(spec, grid, bins, asn, p, b,
+                                      sections, interpret=True)
+        return jnp.sum(out @ w)
+
+    def e_ref(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        return jnp.sum(_radial_reference(spec, species, p, b) @ w)
+
+    g_a, gh_a = jax.grad(e_asn, argnums=(0, 1))(pos, box.h)
+    g_r, gh_r = jax.grad(e_ref, argnums=(0, 1))(pos, box.h)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_r), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gh_a), np.asarray(gh_r),
+                               atol=1e-8)
+
+
+def test_asn_radial_staleness_tolerates_skin_motion():
+    """Assignment built at rebuild positions stays exact after atoms move
+    (< skin/2): every in-cutoff pair is still assigned, and the basis is
+    evaluated at CURRENT positions."""
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system()
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, spec.radial_cutoff + SKIN,
+        spec.radial_cutoff + SKIN)
+    key = jax.random.PRNGKey(7)
+    pos2 = pos + (SKIN / 2 - 0.05) * jax.random.ball(
+        key, 3, shape=(pos.shape[0],), dtype=pos.dtype)
+    ref = np.asarray(_radial_reference(spec, species, pos2, box))
+    got, _ = apasn.radial_aev_asn(spec, grid, bins, asn, pos2, box,
+                                  sections, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
+
+
+def _repulsion_reference(rspec, species, pos, box):
+    ghosts = nbops.build_ghosts(pos, box, rspec.cutoff, 16384,
+                                nbops.image_shifts(1))
+    nlist = nbops.build_neighbor_matrix_brute(pos, box, rspec.cutoff, 220,
+                                              ghosts)
+    species_ext = nbops.extended_species(species, nlist.ghosts)
+    _, dist = nbops.neighbor_displacements(pos, box, nlist)
+    species_j = jnp.where(nlist.mask, species_ext[nlist.idx], -1)
+    mask = nlist.mask & (species_j >= 0)
+    n = pos.shape[0]
+    return repmod.repulsion_energies(
+        rspec, species, species_j, jnp.where(mask, dist, 1e6), mask,
+        ghost_center=jnp.zeros((n,), bool),
+        ghost_j=nlist.idx >= n)
+
+
+def test_asn_radial_repulsion_parity():
+    """In-kernel XTB repulsion matches models/repulsion.py (values and
+    forces) — the ANI-1xnr fast-path enabler."""
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system()
+    rspec = repmod.RepulsionSpec.for_symbols(
+        ("H", "C", "N", "O", "S", "F", "Cl"), cutoff=spec.radial_cutoff)
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, spec.radial_cutoff + SKIN,
+        spec.radial_cutoff + SKIN)
+
+    def e_asn(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        _, erep = apasn.radial_aev_asn(spec, grid, bins, asn, p, b,
+                                       sections, repulsion=rspec,
+                                       interpret=True)
+        return jnp.sum(erep), erep
+
+    def e_ref(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        er = _repulsion_reference(rspec, species, p, b)
+        return jnp.sum(er), er
+
+    (ea, erep_a), (ga, gha) = jax.value_and_grad(
+        e_asn, argnums=(0, 1), has_aux=True)(pos, box.h)
+    (er, erep_r), (gr, ghr) = jax.value_and_grad(
+        e_ref, argnums=(0, 1), has_aux=True)(pos, box.h)
+    np.testing.assert_allclose(np.asarray(erep_a), np.asarray(erep_r),
+                               atol=1e-12, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gr), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(gha), np.asarray(ghr),
+                               atol=1e-9)
+
+
+def _angular_setup_asn(rep=(3, 3, 3)):
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system(rep=rep)
+    side = spec.angular_cutoff + SKIN
+    grid = crmod.RollGrid.for_box(np.asarray(box.h), side, 24)
+    assert grid is not None
+    bins = crmod.build_bins(grid, pos, species, box)
+    assert int(bins.count_max) <= grid.cap
+    sections = _measure_sections(species, pos, box, side,
+                                 spec.num_species)
+    kpad = -(-(sum(k for _, k in sections) + 1) // 128) * 128
+    asn = apasn.build_assignment(grid, bins, pos, box, sections, kpad,
+                                 side, interpret=True)
+    assert float(asn.ovf) <= 0
+    sp = np.asarray(species)
+    caps = tuple((12 if s == 0 else 8) if (sp == s).sum() else 0
+                 for s in range(spec.num_species))
+    return spec, species, pos, box, grid, bins, sections, asn, caps
+
+
+def test_asn_angular_matches_oracle_f64():
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    ref = np.asarray(_angular_reference(spec, species, pos, box))
+    got, deficit = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos, box, sections, caps, interpret=True)
+    assert float(deficit) <= 0, float(deficit)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
+
+
+def test_asn_angular_deficit_detects_truncation():
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    tight = tuple(1 if c else 0 for c in caps)
+    _, deficit = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos, box, sections, tight, interpret=True)
+    assert float(deficit) > 0
+
+
+def test_asn_angular_forces_and_box_cotangent():
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    w = jax.random.normal(jax.random.PRNGKey(1), (spec.angular_length,),
+                          jnp.float64)
+
+    def e_asn(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        out, _ = apasn.angular_aev_asn(spec, grid, bins, asn, p, b,
+                                       sections, caps, interpret=True)
+        return jnp.sum(out @ w)
+
+    def e_ref(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        return jnp.sum(_angular_reference(spec, species, p, b) @ w)
+
+    g_a, gh_a = jax.grad(e_asn, argnums=(0, 1))(pos, box.h)
+    g_r, gh_r = jax.grad(e_ref, argnums=(0, 1))(pos, box.h)
+    np.testing.assert_allclose(np.asarray(g_a), np.asarray(g_r), atol=1e-9)
+    np.testing.assert_allclose(np.asarray(gh_a), np.asarray(gh_r),
+                               atol=1e-8)
+
+
+def test_asn_angular_staleness_tolerates_skin_motion():
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    # roomier caps: motion can push a within-cutoff degree past the tight
+    # test defaults (production catches that via the deficit channel)
+    caps = tuple(c + 8 if c else 0 for c in caps)
+    key = jax.random.PRNGKey(9)
+    pos2 = pos + (SKIN / 2 - 0.05) * jax.random.ball(
+        key, 3, shape=(pos.shape[0],), dtype=pos.dtype)
+    ref = np.asarray(_angular_reference(spec, species, pos2, box))
+    got, deficit = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos2, box, sections, caps, interpret=True)
+    assert float(deficit) <= 0
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
