@@ -1,0 +1,169 @@
+"""Microbenchmark: assignment-compacted AEV path at bench scale on TPU.
+
+Times (scan-amortized, forced host fetch — block_until_ready on the axon
+tunnel returns early and repeated identical calls can be result-cached,
+so every call carries a fresh seed argument and ends in float()):
+bin builds, assignment builds, per-channel kernels fwd/vjp, and the full
+force path. Usage: python examples/benchmark/micro_asn.py [n_rep] [skin]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+REPS = 10
+_seed = [0]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import lammps_ani_tpu as lat
+    from lammps_ani_tpu.io import lammps_data as ldio
+    from lammps_ani_tpu.models import aev as aevmod
+    from lammps_ani_tpu.models import potential as potmod
+    from lammps_ani_tpu.models import zoo
+    from lammps_ani_tpu.ops import aev_asn as apasn
+    from lammps_ani_tpu.ops import cell_roll as crmod
+    from lammps_ani_tpu.ops import neighbors as nbops
+
+    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 15
+    skin = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
+    dtype = jnp.float32
+    spec = aevmod.ani2x_aev_spec()
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        n_rep, n_rep, n_rep)
+    print(f"n_atoms={data.n_atoms} skin={skin}", flush=True)
+    pos = jnp.asarray(data.positions, dtype)
+    box = lat.Box(h=jnp.asarray(data.box_h, dtype),
+                  origin=jnp.asarray(data.box_origin, dtype))
+    pos = nbops.wrap_positions(pos, box)
+    species = jnp.asarray(data.species)
+    counts = tuple(int((data.species == s).sum()) for s in range(7))
+
+    def timeit(name, f, *args):
+        def scanned(p, s, rest):
+            def body(c, i):
+                out = f(c + 1e-30 * (s + i.astype(c.dtype)), *rest)
+                leaves = [l for l in jax.tree.leaves(out)
+                          if jnp.issubdtype(l.dtype, jnp.floating)]
+                bump = sum(jnp.sum(l).astype(c.dtype) for l in leaves)
+                return c + 1e-30 * bump, None
+            c, _ = jax.lax.scan(body, p, jnp.arange(REPS, jnp.int32))
+            return jnp.sum(c)
+        g = jax.jit(lambda p, s, *rest: scanned(p, s, rest))
+
+        def call():
+            _seed[0] += 1
+            return float(g(args[0], jnp.float32(_seed[0]), *args[1:]))
+
+        t0 = time.perf_counter()
+        call()
+        t_c = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        call()
+        call()
+        dt = (time.perf_counter() - t0) / (2 * REPS) * 1e3
+        print(f"{name}: {dt:.2f} ms (compile {t_c:.1f}s)", flush=True)
+        return dt
+
+    def make(side):
+        g0 = crmod.RollGrid.for_box(np.asarray(box.h), side, 64)
+        b0 = crmod.build_bins(g0, pos, species, box)
+        g = crmod.RollGrid(ncells=g0.ncells,
+                           cap=int(-(-int(b0.count_max + 2) // 4) * 4))
+        b = jax.jit(lambda p: crmod.build_bins(g, p, species, box))(pos)
+        print(f"side={side:.2f} grid={g.ncells} cap={g.cap}", flush=True)
+        return g, b
+
+    grid_r, bins_r = make(spec.radial_cutoff + skin)
+    grid_a, bins_a = make(spec.angular_cutoff + skin)
+
+    # sections from a quick degree measure
+    from tests.test_aev_asn import _measure_sections
+    sec_r = _measure_sections(species, pos, box, spec.radial_cutoff + skin,
+                              7)
+    sec_a = _measure_sections(species, pos, box,
+                              spec.angular_cutoff + skin, 7)
+    kpad_r = apasn._round_lane(sum(k for _, k in sec_r) + 1)
+    kpad_a = apasn._round_lane(sum(k for _, k in sec_a) + 1)
+    print(f"sections r={sec_r} kpad={kpad_r} | a={sec_a} kpad={kpad_a}",
+          flush=True)
+
+    timeit("bins radial", lambda p: crmod.build_bins(
+        grid_r, p, species, box).species_grid.astype(dtype), pos)
+    timeit("bins angular", lambda p: crmod.build_bins(
+        grid_a, p, species, box).species_grid.astype(dtype), pos)
+    timeit("asn build radial", lambda p: apasn.build_assignment(
+        grid_r, bins_r, p, box, sec_r, kpad_r,
+        spec.radial_cutoff + skin).idx.astype(dtype), pos)
+    timeit("asn build angular", lambda p: apasn.build_assignment(
+        grid_a, bins_a, p, box, sec_a, kpad_a,
+        spec.angular_cutoff + skin).idx.astype(dtype), pos)
+
+    asn_r = jax.jit(lambda p: apasn.build_assignment(
+        grid_r, bins_r, p, box, sec_r, kpad_r,
+        spec.radial_cutoff + skin))(pos)
+    asn_a = jax.jit(lambda p: apasn.build_assignment(
+        grid_a, bins_a, p, box, sec_a, kpad_a,
+        spec.angular_cutoff + skin))(pos)
+    print(f"asn ovf r={float(asn_r.ovf)} a={float(asn_a.ovf)}", flush=True)
+
+    caps = tuple((16 if s == 0 else 12) if counts[s] else 0
+                 for s in range(7))
+
+    w_r = jax.random.normal(jax.random.PRNGKey(0), (spec.radial_length,),
+                            dtype)
+    w_a = jax.random.normal(jax.random.PRNGKey(1), (spec.angular_length,),
+                            dtype)
+    timeit("radial fwd", lambda p: apasn.radial_aev_asn(
+        spec, grid_r, bins_r, asn_r, p, box, sec_r)[0], pos)
+    timeit("radial vjp", jax.grad(lambda p: jnp.sum(
+        apasn.radial_aev_asn(spec, grid_r, bins_r, asn_r, p, box,
+                             sec_r)[0] @ w_r)), pos)
+    timeit("angular fwd", lambda p: apasn.angular_aev_asn(
+        spec, grid_a, bins_a, asn_a, p, box, sec_a, caps)[0], pos)
+    timeit("angular vjp", jax.grad(lambda p: jnp.sum(
+        apasn.angular_aev_asn(spec, grid_a, bins_a, asn_a, p, box,
+                              sec_a, caps)[0] @ w_a)), pos)
+
+    # full force path with the sorted MLP
+    import dataclasses as dc
+    pot = zoo.ani2x(num_models=1, dtype=dtype)
+    pot = potmod.ANIPotential(
+        spec=dc.replace(pot.spec, angular_caps=caps), params=pot.params)
+    order = np.lexsort((np.arange(data.n_atoms), data.species))
+    sp_sorted = jnp.asarray(data.species[order])
+    pos_sorted = pos[jnp.asarray(order)]
+    bins_rs = jax.jit(
+        lambda p: crmod.build_bins(grid_r, p, sp_sorted, box))(pos_sorted)
+    bins_as = jax.jit(
+        lambda p: crmod.build_bins(grid_a, p, sp_sorted, box))(pos_sorted)
+    asn_rs = jax.jit(lambda p: apasn.build_assignment(
+        grid_r, bins_rs, p, box, sec_r, kpad_r,
+        spec.radial_cutoff + skin))(pos_sorted)
+    asn_as = jax.jit(lambda p: apasn.build_assignment(
+        grid_a, bins_as, p, box, sec_a, kpad_a,
+        spec.angular_cutoff + skin))(pos_sorted)
+    asn_state = (grid_r, bins_rs, asn_rs, sec_r, grid_a, bins_as, asn_as,
+                 sec_a)
+
+    def efv(p):
+        e, f, w, dfc = potmod.energy_forces_virial_asn(
+            pot, sp_sorted, p, box, asn_state, species_counts=counts)
+        return e, f, w
+
+    timeit("energy_forces_virial_asn", efv, pos_sorted)
+    e, f, w = jax.jit(efv)(pos_sorted)
+    print("pe:", float(e), "fmax:", float(jnp.max(jnp.abs(f))), flush=True)
+
+
+if __name__ == "__main__":
+    main()

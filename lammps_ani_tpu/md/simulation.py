@@ -132,14 +132,19 @@ class Simulation:
         self._grid = None  # CellGrid, host-computed in init_state
         self._k_max = nbr.k_max  # auto-tightened by _derive_angular_caps
         self._ang_cap = None  # angular sub-list capacity (auto-derived)
-        self._want_cellroll = cellroll and potential.spec.repulsion is None
         self._roll_grid = None  # ops/cell_roll.RollGrid when active
+        self._ang_grid = None  # second (fine) grid of the pallas_asn mode
+        self._rad_sections = None  # pallas_asn static compact layouts
+        self._ang_sections = None
         # Cell-roll implementation modes:
         #   "xla"         — XLA roll radial channel + mirror angular
         #   "pallas"      — Pallas radial kernel (coarse grid, shell-1)
-        #                   + mirror angular: the measured-fastest hybrid
+        #                   + mirror angular: the round-2 hybrid
         #   "pallas_full" — both channels from Pallas kernels over one fine
         #                   grid; no neighbor matrix / mirror tables at all
+        #   "pallas_asn"  — assignment-compacted kernels over two grids
+        #                   (ops/aev_asn.py): the round-3 production path;
+        #                   also the only fast path supporting repulsion
         # LAT_ROLL_IMPL overrides (tests force pallas modes on CPU, where
         # the kernels run in interpret mode).
         import os as _os
@@ -147,14 +152,17 @@ class Simulation:
         if env:
             self._roll_impl = env
         elif dtype == jnp.float32 and jax.default_backend() == "tpu":
-            self._roll_impl = "pallas"
+            self._roll_impl = "pallas_asn"
         else:
             self._roll_impl = "xla"
         self._roll_shell = 2  # radial window shells (set by _setup_grids)
-        if self._roll_impl == "pallas_full" and not (
+        if self._roll_impl in ("pallas_full", "pallas_asn") and not (
                 auto_angular_caps or potential.spec.angular_caps):
-            # the pallas angular kernel needs composition-derived caps
+            # the pallas angular kernels need composition-derived caps
             self._roll_impl = "pallas"
+        self._want_cellroll = cellroll and (
+            potential.spec.repulsion is None
+            or self._roll_impl == "pallas_asn")
         # query cutoff for the candidate structure: with the cell-roll
         # radial channel only angular candidates are needed
         self._rlist_query = nbr.rlist
@@ -203,7 +211,7 @@ class Simulation:
         def _init_compute(pos, box):
             pos_w = nbops.wrap_positions(pos, box)
             bins = self._bins(pos_w, box)
-            if self._pallas_roll:
+            if self._pallas_roll or self._pallas_asn:
                 nlist, nbrs = None, None
             else:
                 nlist = self._build_nlist(pos_w, box)
@@ -268,28 +276,34 @@ class Simulation:
 
         pallas_full re-compacts angular neighbors from the candidate
         window EVERY step, so only the bin-coverage skin constrains the
-        interval; the mirror paths also freeze the angular sub-list,
-        bounded by ang_skin."""
-        if self._roll_impl == "pallas_full":
+        interval; pallas_asn freezes both channel assignments at
+        (cutoff + skin), bounded by skin alone; the mirror paths also
+        freeze the angular sub-list, bounded by ang_skin."""
+        if self._roll_impl in ("pallas_full", "pallas_asn"):
             return self.nbr.skin
         return min(self.nbr.skin, self.nbr.ang_skin)
 
     @property
     def _roll_side(self) -> float:
-        """Bin side the roll grid must keep (box-validity criterion).
+        """Bin side the (radial) roll grid must keep (box validity).
 
         pallas_full uses ONE fine grid for both channels: the angular
         kernel reads a shell-1 window (side >= Rca + skin), the radial a
-        shell-2 window (2*side >= Rcr + skin). The radial-only pallas
-        hybrid and the XLA cell-roll channel need shell-1 radial coverage
-        (side >= Rcr + skin)."""
+        shell-2 window (2*side >= Rcr + skin). pallas_asn and the
+        radial-only pallas hybrid and the XLA cell-roll channel need
+        shell-1 radial coverage (side >= Rcr + skin)."""
         spec = self.potential.spec
         if self._roll_impl == "pallas_full":
             return max(spec.aev.angular_cutoff + self._skin_eff,
                        (spec.cutoff + self._skin_eff) / 2.0)
-        if self._roll_impl == "pallas":
+        if self._roll_impl in ("pallas", "pallas_asn"):
             return spec.cutoff + self._skin_eff
         return spec.cutoff + self.nbr.ang_skin
+
+    @property
+    def _ang_side(self) -> float:
+        """Bin side of the pallas_asn angular grid (Rca + skin)."""
+        return self.potential.spec.aev.angular_cutoff + self._skin_eff
 
     def _setup_grids(self, pos, box):
         """(Re-)derive the cell/roll grids from the CURRENT box.
@@ -302,6 +316,33 @@ class Simulation:
         grids are derived with a few % slack so re-derives stay rare."""
         box_h = np.asarray(box.h, np.float64)
         slack = 1.06 if self._barostat_active() else 1.0
+        if self._want_cellroll and self._roll_impl == "pallas_asn":
+            from ..ops import cell_roll as crmod
+
+            def probe_grid(side):
+                probe = crmod.RollGrid.for_box(box_h, side * slack, 64)
+                if probe is None:
+                    return None
+                cnt = int(jax.device_get(jax.jit(
+                    lambda p, b: crmod.build_bins(
+                        probe, nbops.wrap_positions(p, b),
+                        self.species, b).count_max)(pos, box)))
+                cap = int(-(-int(cnt + 2) // 4) * 4)
+                return crmod.RollGrid(ncells=probe.ncells, cap=cap)
+
+            self._roll_grid = probe_grid(self._roll_side)
+            self._ang_grid = (probe_grid(self._ang_side)
+                              if self._roll_grid is not None else None)
+            if self._ang_grid is None:
+                self._roll_grid = None  # both or neither (mirror fallback)
+            self._rlist_query = self.nbr.rlist
+            self._chunk_cache = {}
+            if self.nbr.use_cell_list:
+                from ..ops import cell_list as clmod
+                self._grid = clmod.CellGrid.for_box(
+                    box_h, self._rlist_query * slack,
+                    self.nbr.cell_capacity)
+            return
         if self._want_cellroll:
             from ..ops import cell_roll as crmod
             probe = crmod.RollGrid.for_box(box_h, self._roll_side * slack,
@@ -358,6 +399,15 @@ class Simulation:
         for the given (possibly barostat-rescaled) box."""
         h = np.asarray(box_h, np.float64)
         perp = self._perp_lengths(h)
+        if self._want_cellroll and self._roll_impl == "pallas_asn":
+            from ..ops import cell_roll as crmod
+            if self._roll_grid is None:
+                return crmod.RollGrid.for_box(h, self._roll_side, 4) is None
+            for g, side in ((self._roll_grid, self._roll_side),
+                            (self._ang_grid, self._ang_side)):
+                if np.any(perp / np.asarray(g.ncells) < side):
+                    return False
+            return True
         if self._want_cellroll:
             if self._roll_grid is None:
                 # roll disabled because the box was too small — revisit if
@@ -403,7 +453,8 @@ class Simulation:
 
         spec = self.potential.spec
 
-        @jax.jit
+        asn_mode = self._roll_impl == "pallas_asn"
+
         def measure(pos, box):
             pos_w = nbops.wrap_positions(pos, box)
             nlist = self._build_nlist(pos_w, box)
@@ -414,13 +465,41 @@ class Simulation:
             in_ang = mask & (dist < spec.aev.angular_cutoff)
             in_ang_skin = mask & (
                 dist < spec.aev.angular_cutoff + self.nbr.ang_skin)
-            return jnp.stack([
-                jnp.max(jnp.sum(in_ang & (species_j == s), axis=1))
-                for s in range(spec.aev.num_species)
-            ]), nlist.max_count, jnp.max(jnp.sum(in_ang_skin, axis=1))
+            per_species = lambda m: jnp.stack([
+                jnp.max(jnp.sum(m & (species_j == s), axis=1))
+                for s in range(spec.aev.num_species)])
+            sec = {}
+            if asn_mode:
+                # assignment section degrees (keep radius cutoff + skin;
+                # the measure nlist covers rlist in this mode)
+                sec["rad"] = per_species(
+                    mask & (dist < spec.cutoff + self._skin_eff))
+                sec["ang"] = per_species(
+                    mask & (dist < spec.aev.angular_cutoff
+                            + self._skin_eff))
+            return (per_species(in_ang), nlist.max_count,
+                    jnp.max(jnp.sum(in_ang_skin, axis=1)), sec)
 
-        degrees, max_deg, ang_deg = jax.device_get(measure(pos, box))
+        degrees, max_deg, ang_deg, sec = jax.device_get(
+            jax.jit(measure)(pos, box))
+        while int(max_deg) > self._k_max:
+            # the measuring matrix truncated: per-species degree sums are
+            # underestimates — regrow k_max and re-measure (a truncated
+            # measure would undersize sections and loop on overflow).
+            # Fresh jit each pass: _build_nlist reads _k_max at trace time.
+            self._k_max = int(-(-int(max_deg * 1.1 + 4) // 8) * 8)
+            degrees, max_deg, ang_deg, sec = jax.device_get(
+                jax.jit(measure)(pos, box))
         degrees = np.asarray(degrees)
+        if asn_mode:
+            def mk_sections(degs, margin):
+                return tuple(
+                    (s, int(-(-int(d * margin + 2) // 4) * 4))
+                    for s, d in enumerate(np.asarray(degs)) if d > 0)
+            # ~10% headroom: density fluctuations between re-measures grow
+            # sections without a recompile only via overflow recovery
+            self._rad_sections = mk_sections(sec["rad"], 1.1)
+            self._ang_sections = mk_sections(sec["ang"], 1.1)
         self._ang_cap = int(-(-int(ang_deg * 1.1 + 2) // 4) * 4)
         # tight neighbor capacity too (radial/displacement work is linear in
         # k_max); growth handled by the same overflow-recovery path
@@ -486,12 +565,35 @@ class Simulation:
         if self._roll_grid is None:
             return None
         from ..ops import cell_roll as crmod
+        if self._pallas_asn:
+            from ..ops import aev_asn as apasn
+            spec = self.potential.spec
+            rbins = crmod.build_bins(self._roll_grid, pos, self.species,
+                                     box)
+            abins = crmod.build_bins(self._ang_grid, pos, self.species,
+                                     box)
+            kpad_r = apasn._round_lane(
+                sum(k for _, k in self._rad_sections) + 1)
+            kpad_a = apasn._round_lane(
+                sum(k for _, k in self._ang_sections) + 1)
+            rasn = apasn.build_assignment(
+                self._roll_grid, rbins, pos, box, self._rad_sections,
+                kpad_r, spec.cutoff + self._skin_eff)
+            aasn = apasn.build_assignment(
+                self._ang_grid, abins, pos, box, self._ang_sections,
+                kpad_a, spec.aev.angular_cutoff + self._skin_eff)
+            return (rbins, rasn, abins, aasn)
         return crmod.build_bins(self._roll_grid, pos, self.species, box)
 
     @property
     def _pallas_roll(self) -> bool:
         return (self._roll_grid is not None
                 and self._roll_impl == "pallas_full")
+
+    @property
+    def _pallas_asn(self) -> bool:
+        return (self._roll_grid is not None
+                and self._roll_impl == "pallas_asn")
 
     def _forces(self, pos, box, nbrs, bins, step):
         """(pe, force, virial, angular-deficit) at `pos` [kcal/mol units].
@@ -500,7 +602,14 @@ class Simulation:
         ops/aev_pallas kernels — no neighbor matrix at all), XLA cell-roll
         (radial from ops/cell_roll, angular from the mirror sub-list), and
         the mirror path (the oracle)."""
-        if self._pallas_roll and bins is not None:
+        if self._pallas_asn and bins is not None:
+            rbins, rasn, abins, aasn = bins
+            asn_state = (self._roll_grid, rbins, rasn, self._rad_sections,
+                         self._ang_grid, abins, aasn, self._ang_sections)
+            pe_h, f_h, w_h, deficit = potmod.energy_forces_virial_asn(
+                self.potential, self.species, pos, box, asn_state,
+                species_counts=self.species_counts)
+        elif self._pallas_roll and bins is not None:
             pe_h, f_h, w_h, deficit = potmod.energy_forces_virial_roll(
                 self.potential, self.species, pos, box, self._roll_grid,
                 bins, radial_shell=self._roll_shell,
@@ -593,8 +702,8 @@ class Simulation:
     def _chunk(self, state: MDState, n_steps: int):
         pos_w = nbops.wrap_positions(state.pos, state.box)
         bins = self._bins(pos_w, state.box)
-        if self._pallas_roll:
-            # full Pallas path: the bin grid IS the neighbor structure —
+        if self._pallas_roll or self._pallas_asn:
+            # full Pallas paths: the bin grid IS the neighbor structure —
             # no neighbor matrix, no mirror tables, no angular sub-list.
             nlist, nbrs = None, None
         else:
@@ -652,18 +761,31 @@ class Simulation:
         # state's flags are stale — they describe the previous rebuild), so
         # run() can grow the matching capacity instead of guessing.
         false = jnp.zeros((), bool)
+        if self._pallas_asn:
+            rbins, rasn, abins, aasn = bins
+            roll_ovf = rbins.count_max > self._roll_grid.cap
+            roll_ang_ovf = abins.count_max > self._ang_grid.cap
+            sec_ovf = (rasn.ovf > 0) | (aasn.ovf > 0)
+        else:
+            roll_ovf = (false if bins is None
+                        else bins.count_max > self._roll_grid.cap)
+            roll_ang_ovf = false
+            sec_ovf = false
         overflow = {
             "ghost": false if nlist is None
             else nlist.ghosts.count > nlist.ghosts.src.shape[0],
             "k_max": false if nlist is None
             else nlist.max_count > nlist.idx.shape[1],
             "mirror": false if nbrs is None else ~nbrs.ok,
-            # pallas path: per-step in-kernel deficit (stronger than the
+            # pallas paths: per-step in-kernel deficit (stronger than the
             # rebuild-time check of the mirror path)
-            "angular": jnp.max(deficits) > 0 if self._pallas_roll
+            "angular": jnp.max(deficits) > 0
+            if (self._pallas_roll or self._pallas_asn)
             else self._angular_overflow(pos_w, state.box, nlist),
-            "roll": (false if bins is None
-                     else bins.count_max > self._roll_grid.cap),
+            "roll": roll_ovf,
+            "roll_ang": roll_ang_ovf,
+            # pallas_asn: a frozen section overflowed at rebuild time
+            "sections": sec_ovf,
         }
         return state, traj, disp, overflow, n_done
 
@@ -715,6 +837,17 @@ class Simulation:
                         ncells=self._roll_grid.ncells,
                         cap=-(-int(self._roll_grid.cap * 3 // 2) // 4) * 4)
                     self._chunk_cache = {}
+                if ovf.get("roll_ang"):
+                    from ..ops import cell_roll as crmod
+                    self._ang_grid = crmod.RollGrid(
+                        ncells=self._ang_grid.ncells,
+                        cap=-(-int(self._ang_grid.cap * 3 // 2) // 4) * 4)
+                    self._chunk_cache = {}
+                if ovf.get("sections"):
+                    # a frozen compact section overflowed at rebuild:
+                    # re-measure the per-species degrees at this geometry
+                    # (re-derives sections AND within-cutoff caps)
+                    self._derive_angular_caps(state.pos, state.box)
                 if ovf["k_max"] or ovf["angular"] or ovf["mirror"]:
                     if self._auto_angular_caps:
                         # re-measure degrees at current geometry; grows both

@@ -239,6 +239,80 @@ def test_asn_angular_forces_and_box_cotangent():
                                atol=1e-8)
 
 
+def test_simulation_asn_matches_mirror(monkeypatch):
+    """4 MD steps on the assignment path (two grids, frozen assignments,
+    no neighbor matrix) must reproduce the mirror-path engine trajectory
+    (f64, interpret mode on CPU)."""
+    from lammps_ani_tpu.models import zoo
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        3, 3, 3)  # 24.8 A box: the coarse radial grid needs >= 3 bins/axis
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    def run(impl):
+        monkeypatch.setenv("LAT_ROLL_IMPL", impl)
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160, ghost_capacity=8192,
+                                   rebuild_every=2),
+            dt=0.2, dtype=jnp.float64,
+            cellroll=impl.startswith("pallas"))
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, temp=300.0, seed=11)
+        if impl == "pallas_asn":
+            assert sim._pallas_asn, "assignment path not active"
+        st, rows = sim.run(st, 4, thermo_every=2)
+        return (sim.positions_input_order(st), float(st.pe),
+                np.asarray(st.virial))
+
+    p_asn, e_asn, w_asn = run("pallas_asn")
+    p_ref, e_ref, w_ref = run("mirror-off")
+    np.testing.assert_allclose(e_asn, e_ref, rtol=1e-11)
+    np.testing.assert_allclose(p_asn, p_ref, atol=1e-10)
+    np.testing.assert_allclose(w_asn, w_ref, atol=1e-8)
+
+
+def test_simulation_asn_repulsion_matches_mirror(monkeypatch):
+    """ANI-1xnr (XTB repulsion) on the assignment fast path vs the mirror
+    path — the reference's reactive-model configuration
+    (/root/reference/models/ani_models.py:40-53) previously confined to
+    the slow path."""
+    from lammps_ani_tpu.models import zoo
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        3, 3, 3)
+    pot = zoo.ani1xnr(num_models=1, dtype=jnp.float64)
+
+    def run(impl, cellroll):
+        monkeypatch.setenv("LAT_ROLL_IMPL", impl)
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160, ghost_capacity=8192,
+                                   rebuild_every=2),
+            dt=0.2, dtype=jnp.float64, cellroll=cellroll)
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, temp=300.0, seed=11)
+        if cellroll:
+            assert sim._pallas_asn, "assignment path not active"
+        st, rows = sim.run(st, 4, thermo_every=2)
+        return (sim.positions_input_order(st), float(st.pe),
+                np.asarray(st.virial))
+
+    p_asn, e_asn, w_asn = run("pallas_asn", True)
+    p_ref, e_ref, w_ref = run("mirror-off", False)
+    np.testing.assert_allclose(e_asn, e_ref, rtol=1e-11)
+    np.testing.assert_allclose(p_asn, p_ref, atol=1e-10)
+    np.testing.assert_allclose(w_asn, w_ref, atol=1e-8)
+
+
 def test_asn_angular_staleness_tolerates_skin_motion():
     (spec, species, pos, box, grid, bins, sections, asn,
      caps) = _angular_setup_asn()

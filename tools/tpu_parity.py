@@ -1,0 +1,90 @@
+"""On-hardware kernel parity check: compiled Pallas kernels vs XLA oracle.
+
+All CPU tests run the kernels in interpret mode; the two f32 landmines of
+round 2 (recurrence underflow, bf16-lowered geometry dots) were invisible
+to every CPU test. This script runs the COMPILED Mosaic kernels on the
+real device at a small size and compares energies/forces/virials against
+the generic neighbor-matrix oracle in f32.
+
+Usage: python tools/tpu_parity.py [n_rep]      (default 3 -> 810 atoms)
+Prints one JSON line {"parity": "PASS"|"FAIL", ...}; exit code 1 on FAIL.
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    import lammps_ani_tpu as lat
+    from lammps_ani_tpu.io import lammps_data as ldio
+    from lammps_ani_tpu.models import zoo
+
+    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        n_rep, n_rep, n_rep)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float32)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
+                  origin=jnp.asarray(data.box_origin, jnp.float32))
+
+    def one_step(impl, cellroll):
+        os.environ["LAT_ROLL_IMPL"] = impl
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160,
+                                   ghost_capacity=max(2048, data.n_atoms),
+                                   rebuild_every=2),
+            dt=0.25, dtype=jnp.float32, cellroll=cellroll)
+        st = sim.init_state(data.positions, box, temp=300.0, seed=3)
+        st, _ = sim.run(st, 2)
+        return (sim.positions_input_order(st),
+                sim.forces_input_order(st),
+                float(st.pe), np.asarray(st.virial))
+
+    p_ref, f_ref, e_ref, w_ref = one_step("mirror-off", False)
+    fails = {}
+    checks = {}
+    for impl in ("pallas", "pallas_asn"):
+        try:
+            p, f, e, w = one_step(impl, True)
+            checks[impl] = {
+                "pe_rel": abs(e - e_ref) / max(abs(e_ref), 1.0),
+                "fmax_abs": float(np.max(np.abs(f - f_ref))),
+                "pos_abs": float(np.max(np.abs(p - p_ref))),
+                "vir_rel": float(np.max(np.abs(w - w_ref))
+                                 / max(np.max(np.abs(w_ref)), 1.0)),
+            }
+            c = checks[impl]
+            # f32 force scale here is O(10^2) kcal/mol/A; 5e-2 absolute
+            # catches wrong-physics bugs while riding out summation-order
+            # noise at 810 atoms
+            if not (c["pe_rel"] < 1e-5 and c["fmax_abs"] < 5e-2
+                    and c["pos_abs"] < 1e-3 and c["vir_rel"] < 1e-3):
+                fails[impl] = c
+        except Exception as exc:  # compile failure IS a parity failure
+            fails[impl] = f"{type(exc).__name__}: {exc}"
+            checks[impl] = fails[impl]
+
+    status = "PASS" if not fails else "FAIL"
+    print(json.dumps({
+        "parity": status,
+        "n_atoms": data.n_atoms,
+        "device": str(jax.devices()[0]),
+        "checks": {k: (v if isinstance(v, str)
+                       else {kk: float(f"{vv:.3e}") for kk, vv in v.items()})
+                   for k, v in checks.items()},
+    }))
+    sys.exit(0 if status == "PASS" else 1)
+
+
+if __name__ == "__main__":
+    main()
