@@ -32,6 +32,7 @@ def main():
     from lammps_ani_tpu.ops import cell_roll as crmod
     from lammps_ani_tpu.ops import neighbors as nbops
 
+    T00 = time.perf_counter()
     n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     skin = float(sys.argv[2]) if len(sys.argv) > 2 else 1.0
     dtype = jnp.float32
@@ -44,7 +45,9 @@ def main():
     pos = jnp.asarray(data.positions, dtype)
     box = lat.Box(h=jnp.asarray(data.box_h, dtype),
                   origin=jnp.asarray(data.box_origin, dtype))
-    pos = nbops.wrap_positions(pos, box)
+    # keep ALL setup jitted: per-op eager dispatch on the tunnel is
+    # minutes-slow at this size
+    pos = jax.jit(nbops.wrap_positions)(pos, box)
     species = jnp.asarray(data.species)
     counts = tuple(int((data.species == s).sum()) for s in range(7))
 
@@ -56,7 +59,7 @@ def main():
                           if jnp.issubdtype(l.dtype, jnp.floating)]
                 bump = sum(jnp.sum(l).astype(c.dtype) for l in leaves)
                 return c + 1e-30 * bump, None
-            c, _ = jax.lax.scan(body, p, jnp.arange(REPS, jnp.int32))
+            c, _ = jax.lax.scan(body, p, jnp.arange(REPS, dtype=jnp.int32))
             return jnp.sum(c)
         g = jax.jit(lambda p, s, *rest: scanned(p, s, rest))
 
@@ -74,11 +77,14 @@ def main():
         print(f"{name}: {dt:.2f} ms (compile {t_c:.1f}s)", flush=True)
         return dt
 
+    print("t=%.0fs setup done" % (time.perf_counter() - T00), flush=True)
+
     def make(side):
         g0 = crmod.RollGrid.for_box(np.asarray(box.h), side, 64)
-        b0 = crmod.build_bins(g0, pos, species, box)
+        cnt = int(jax.jit(
+            lambda p: crmod.build_bins(g0, p, species, box).count_max)(pos))
         g = crmod.RollGrid(ncells=g0.ncells,
-                           cap=int(-(-int(b0.count_max + 2) // 4) * 4))
+                           cap=int(-(-int(cnt + 2) // 4) * 4))
         b = jax.jit(lambda p: crmod.build_bins(g, p, species, box))(pos)
         print(f"side={side:.2f} grid={g.ncells} cap={g.cap}", flush=True)
         return g, b
@@ -86,27 +92,50 @@ def main():
     grid_r, bins_r = make(spec.radial_cutoff + skin)
     grid_a, bins_a = make(spec.angular_cutoff + skin)
 
-    # sections from a quick degree measure
-    from tests.test_aev_asn import _measure_sections
-    sec_r = _measure_sections(species, pos, box, spec.radial_cutoff + skin,
-                              7)
-    sec_a = _measure_sections(species, pos, box,
-                              spec.angular_cutoff + skin, 7)
+    # sections from a cell-list degree measure (brute is O(n^2))
+    from lammps_ani_tpu.ops import cell_list as clmod
+
+    @jax.jit
+    def degrees(pos):
+        rq = spec.radial_cutoff + skin
+        grid_cl = clmod.CellGrid.for_box(np.asarray(box.h), rq, 32)
+        ghosts = nbops.build_ghosts(pos, box, rq,
+                                    max(4096, data.n_atoms // 2),
+                                    nbops.image_shifts(1))
+        nl = clmod.build_neighbor_matrix_cells(pos, box, rq, 192, ghosts,
+                                               grid=grid_cl)
+        sp_ext = nbops.extended_species(species, nl.ghosts)
+        _, dist = nbops.neighbor_displacements(pos, box, nl)
+        spj = sp_ext[nl.idx]
+        mask = nl.mask & (spj >= 0)
+        per = lambda keep: jnp.stack([
+            jnp.max(jnp.sum(mask & (dist <= keep) & (spj == s), axis=1))
+            for s in range(7)])
+        return per(rq), per(spec.angular_cutoff + skin), nl.max_count
+
+    deg_r, deg_a, max_cnt = jax.device_get(degrees(pos))
+    assert int(max_cnt) <= 192, int(max_cnt)
+    mk = lambda degs: tuple(
+        (s, int(-(-(int(d) + 2) // 4) * 4)) for s, d in enumerate(degs)
+        if d > 0)
+    sec_r, sec_a = mk(deg_r), mk(deg_a)
     kpad_r = apasn._round_lane(sum(k for _, k in sec_r) + 1)
     kpad_a = apasn._round_lane(sum(k for _, k in sec_a) + 1)
     print(f"sections r={sec_r} kpad={kpad_r} | a={sec_a} kpad={kpad_a}",
           flush=True)
 
-    timeit("bins radial", lambda p: crmod.build_bins(
-        grid_r, p, species, box).species_grid.astype(dtype), pos)
-    timeit("bins angular", lambda p: crmod.build_bins(
-        grid_a, p, species, box).species_grid.astype(dtype), pos)
-    timeit("asn build radial", lambda p: apasn.build_assignment(
-        grid_r, bins_r, p, box, sec_r, kpad_r,
-        spec.radial_cutoff + skin).idx.astype(dtype), pos)
-    timeit("asn build angular", lambda p: apasn.build_assignment(
-        grid_a, bins_a, p, box, sec_a, kpad_a,
-        spec.angular_cutoff + skin).idx.astype(dtype), pos)
+    phase = os.environ.get("ASN_PHASE", "all")
+    if phase in ("all", "build"):
+        timeit("bins radial", lambda p: crmod.build_bins(
+            grid_r, p, species, box).species_grid.astype(dtype), pos)
+        timeit("bins angular", lambda p: crmod.build_bins(
+            grid_a, p, species, box).species_grid.astype(dtype), pos)
+        timeit("asn build radial", lambda p: apasn.build_assignment(
+            grid_r, bins_r, p, box, sec_r, kpad_r,
+            spec.radial_cutoff + skin).idx.astype(dtype), pos)
+        timeit("asn build angular", lambda p: apasn.build_assignment(
+            grid_a, bins_a, p, box, sec_a, kpad_a,
+            spec.angular_cutoff + skin).idx.astype(dtype), pos)
 
     asn_r = jax.jit(lambda p: apasn.build_assignment(
         grid_r, bins_r, p, box, sec_r, kpad_r,
@@ -123,16 +152,20 @@ def main():
                             dtype)
     w_a = jax.random.normal(jax.random.PRNGKey(1), (spec.angular_length,),
                             dtype)
-    timeit("radial fwd", lambda p: apasn.radial_aev_asn(
-        spec, grid_r, bins_r, asn_r, p, box, sec_r)[0], pos)
-    timeit("radial vjp", jax.grad(lambda p: jnp.sum(
-        apasn.radial_aev_asn(spec, grid_r, bins_r, asn_r, p, box,
-                             sec_r)[0] @ w_r)), pos)
-    timeit("angular fwd", lambda p: apasn.angular_aev_asn(
-        spec, grid_a, bins_a, asn_a, p, box, sec_a, caps)[0], pos)
-    timeit("angular vjp", jax.grad(lambda p: jnp.sum(
-        apasn.angular_aev_asn(spec, grid_a, bins_a, asn_a, p, box,
-                              sec_a, caps)[0] @ w_a)), pos)
+    if phase in ("all", "radial"):
+        timeit("radial fwd", lambda p: apasn.radial_aev_asn(
+            spec, grid_r, bins_r, asn_r, p, box, sec_r)[0], pos)
+        timeit("radial vjp", jax.grad(lambda p: jnp.sum(
+            apasn.radial_aev_asn(spec, grid_r, bins_r, asn_r, p, box,
+                                 sec_r)[0] @ w_r)), pos)
+    if phase in ("all", "angular"):
+        timeit("angular fwd", lambda p: apasn.angular_aev_asn(
+            spec, grid_a, bins_a, asn_a, p, box, sec_a, caps)[0], pos)
+        timeit("angular vjp", jax.grad(lambda p: jnp.sum(
+            apasn.angular_aev_asn(spec, grid_a, bins_a, asn_a, p, box,
+                                  sec_a, caps)[0] @ w_a)), pos)
+    if phase not in ("all", "full"):
+        return
 
     # full force path with the sorted MLP
     import dataclasses as dc

@@ -197,57 +197,56 @@ def _k3_spec(a, b):
 # ---------------------------------------------------------------------------
 
 
-def _build_asn_kernel(px, py, pz, cx, cy, cz, cs, idx_o, inv_o, ovf,
+def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
                       *, cap, sections, kpad, wpad, keep_r, dtype):
-    """Rank window lanes within keep_r into per-species compact sections."""
+    """Rank window lanes within keep_r into per-species compact sections,
+    emitting the inverse map (window lane -> compact lane).
+
+    Processed per 128-lane window chunk with per-species rank carries so
+    peak VMEM stays ~2 MB (a whole-window tri matmul with its [wpad,wpad]
+    ones matrix and live geometry blew the 16 MB scoped limit)."""
     t_rows = px.shape[0]
     r_rows = t_rows * cap
     offs, k_total = _sec_offsets(sections)
 
-    pxv = px[...].reshape(r_rows, 1)
-    pyv = py[...].reshape(r_rows, 1)
-    pzv = pz[...].reshape(r_rows, 1)
-    cxb = _bcast_rows(cx[...], cap)
-    cyb = _bcast_rows(cy[...], cap)
-    czb = _bcast_rows(cz[...], cap)
-    csb = _bcast_rows(cs[...], cap)
-    ax = pxv - cxb
-    ay = pyv - cyb
-    az = pzv - czb
-    dist = jnp.sqrt(jnp.maximum(ax * ax + ay * ay + az * az, 1e-12))
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    tri = (lane_c < col_c).astype(dtype)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, wpad), 2)
-    sub = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, wpad), 1)
-    is_self = (lane == 13 * cap + sub).reshape(r_rows, wpad)
-    in_keep = (dist <= keep_r) & ~is_self
+    def b3(plane, lo):
+        chunk = plane[:, lo:lo + _LANE]
+        return jnp.broadcast_to(chunk[:, None, :], (t_rows, cap, _LANE))
 
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, wpad), 0)
-    col_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, wpad), 1)
-    tri = (lane_w < col_w).astype(dtype)
+    sub3 = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, _LANE), 1)
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, _LANE), 2)
+    pxv, pyv, pzv = px[...], py[...], pz[...]
 
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, (r_rows, wpad), 1)
-    w_iota = lane2.astype(dtype)
-    inv_acc = jnp.full((r_rows, wpad), float(kpad - 1), dtype)
-    idx_cols = []
+    carries = {s: jnp.zeros((r_rows, 1), dtype) for s, _ in sections}
     deficit = jnp.full((), -(2.0 ** 20), dtype)
+    inv_chunks = []
+    for c in range(wpad // _LANE):
+        lo = c * _LANE
+        dx = (pxv[:, :, None] - b3(cx[...], lo)).reshape(r_rows, _LANE)
+        dy = (pyv[:, :, None] - b3(cy[...], lo)).reshape(r_rows, _LANE)
+        dz = (pzv[:, :, None] - b3(cz[...], lo)).reshape(r_rows, _LANE)
+        d2 = dx * dx + dy * dy + dz * dz
+        is_self = ((lane3 + lo) == 13 * cap + sub3).reshape(r_rows, _LANE)
+        in_keep = (d2 <= keep_r * keep_r) & ~is_self
+        csb = b3(cs[...], lo).reshape(r_rows, _LANE)
+        inv_c = jnp.full((r_rows, _LANE), float(kpad - 1), dtype)
+        for (s, k_s), off in zip(sections, offs):
+            m = (in_keep & (csb == s)).astype(dtype)
+            rank = jax.lax.dot_general(
+                m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype) + carries[s]
+            carries[s] = carries[s] + jnp.sum(m, axis=-1)[:, None]
+            inv_c = jnp.where(m > 0.5, rank + float(off), inv_c)
+        inv_chunks.append(inv_c)
     for (s, k_s), off in zip(sections, offs):
-        m = (in_keep & (csb == s)).astype(dtype)
-        count = jnp.sum(m, axis=-1)
-        deficit = jnp.maximum(deficit, jnp.max(count) - k_s)
-        rank = jax.lax.dot_general(
-            m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=dtype)
-        inv_acc = jnp.where(m > 0.5, rank + float(off), inv_acc)
-        for a in range(k_s):
-            sel = (rank == float(a)) * m
-            idx_cols.append(jnp.sum(sel * w_iota, axis=-1)[:, None]
-                            + (1.0 - jnp.max(sel, axis=-1))[:, None]
-                            * float(wpad))
-    for _ in range(kpad - k_total):
-        idx_cols.append(jnp.full((r_rows, 1), float(wpad), dtype))
+        deficit = jnp.maximum(deficit, jnp.max(carries[s]) - k_s)
 
-    idx_o[...] = jnp.concatenate(idx_cols, axis=-1).astype(
-        jnp.int32).reshape(t_rows, cap, kpad)
+    inv_acc = (jnp.concatenate(inv_chunks, axis=-1)
+               if len(inv_chunks) > 1 else inv_chunks[0])
     inv_o[...] = inv_acc.astype(jnp.int32).reshape(t_rows, cap, wpad)
 
     @pl.when(pl.program_id(0) == 0)
@@ -258,6 +257,33 @@ def _build_asn_kernel(px, py, pz, cx, cy, cz, cs, idx_o, inv_o, ovf,
     cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     ovf[...] = jnp.maximum(ovf[...], jnp.where(
         (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
+
+
+def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, k_total, dtype):
+    """idx (compact lane -> window lane) from the inverse map: one-hot
+    sweep over compact lanes, chunked over the window."""
+    t_rows = inv_r.shape[0]
+    r_rows = t_rows * cap
+    invv = inv_r[...].reshape(r_rows, wpad)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, kpad), 1)
+    idx_o[...] = jnp.full((t_rows, cap, kpad), wpad, jnp.int32)
+    # Mosaic's stack allocator gives every unrolled select a fresh slot
+    # (no reuse along the chain), so a single long accumulation chain
+    # blows the 16 MB scoped limit; round-tripping through the output ref
+    # every 16 columns bounds the live chain.
+    blk = 16
+    for c in range(wpad // _LANE):
+        lo = c * _LANE
+        chunk = invv[:, lo:lo + _LANE]
+        w_val = jax.lax.broadcasted_iota(
+            jnp.int32, (r_rows, _LANE), 1) + lo
+        for kb in range(0, k_total, blk):
+            upd = idx_o[...].reshape(r_rows, kpad)
+            for k in range(kb, min(kb + blk, k_total)):
+                sel = chunk == k
+                hit = jnp.max(jnp.where(sel, w_val, -1), axis=-1)[:, None]
+                upd = jnp.where((k_iota == k) & (hit >= 0), hit, upd)
+            idx_o[...] = upd.reshape(t_rows, cap, kpad)
 
 
 def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
@@ -279,15 +305,14 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
     nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
         grid, bins.inv, bins.species_grid, pos, box.h, wpad)
     kern = functools.partial(
-        _build_asn_kernel, cap=cap, sections=sections, kpad=kpad,
+        _build_inv_kernel, cap=cap, sections=sections, kpad=kpad,
         wpad=wpad, keep_r=keep_radius, dtype=dtype)
-    idx, inv, ovf = pl.pallas_call(
+    inv, ovf = pl.pallas_call(
         kern,
         grid=(nc_pad // _T_ROWS,),
         in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 4,
-        out_specs=[_k3_spec(cap, kpad), _k3_spec(cap, wpad), _acc1_spec()],
+        out_specs=[_k3_spec(cap, wpad), _acc1_spec()],
         out_shape=[
-            jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
             jax.ShapeDtypeStruct((nc_pad, cap, wpad), jnp.int32),
             jax.ShapeDtypeStruct((8, 128), dtype),
         ],
@@ -295,6 +320,17 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(px, py, pz, cx, cy, cz, csp)
+    idx = pl.pallas_call(
+        functools.partial(_build_idx_kernel, cap=cap, kpad=kpad,
+                          wpad=wpad, k_total=k_total, dtype=dtype),
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_k3_spec(cap, wpad)],
+        out_specs=_k3_spec(cap, kpad),
+        out_shape=jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(inv)
     return Assignment(idx=idx[:nc], inv=inv[:nc], ovf=ovf[0, 0])
 
 
@@ -309,17 +345,37 @@ def _compact_geometry(px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad):
     t_rows = px.shape[0]
     r_rows = t_rows * cap
     iv = idxr[...].reshape(r_rows, kpad)
-    gx = _gather_window(cx[...], iv, cap, kpad)
-    gy = _gather_window(cy[...], iv, cap, kpad)
-    gz = _gather_window(cz[...], iv, cap, kpad)
-    ax = px[...].reshape(r_rows, 1) - gx
-    ay = py[...].reshape(r_rows, 1) - gy
-    az = pz[...].reshape(r_rows, 1) - gz
+
+    def sub_center(plane, g):
+        # [T,cap] - [R,kpad]: via the 3-D broadcast form (Mosaic cannot
+        # reshape [T,cap] -> [R,1]); leading-dim merges/splits are free
+        g3 = g.reshape(t_rows, cap, kpad)
+        return (plane[...][:, :, None] - g3).reshape(r_rows, kpad)
+
+    ax = sub_center(px, _gather_window(cx[...], iv, cap, kpad))
+    ay = sub_center(py, _gather_window(cy[...], iv, cap, kpad))
+    az = sub_center(pz, _gather_window(cz[...], iv, cap, kpad))
     valid = iv < wpad
     d2 = ax * ax + ay * ay + az * az
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
     dist = jnp.where(valid, dist, 1e6)
     return iv, ax, ay, az, dist, valid
+
+
+def _mul_rows(x2, row, t_rows, cap):
+    """x2 [R, K] * row [T, cap] broadcast per row -> [R, K].
+
+    Mosaic cannot reshape [T, cap] to [R, 1] (lanes -> sublanes); the
+    supported route is a leading-dim split, a trailing-None broadcast,
+    and a leading-dim merge."""
+    k = x2.shape[-1]
+    return (x2.reshape(t_rows, cap, k)
+            * row[:, :, None]).reshape(t_rows * cap, k)
+
+
+def _row_sum(x2, t_rows, cap):
+    """[R, K] -> [T, cap] lane reduction (via the 3-D split)."""
+    return jnp.sum(x2.reshape(t_rows, cap, x2.shape[-1]), axis=-1)
 
 
 def _sec_masks(sections, r_rows, kpad, dtype):
@@ -347,12 +403,11 @@ def _dh_from_compact(sh, iv, cap, kpad, gx, gy, gz, dtype):
     for m in range(3):
         table = jnp.pad(sh[:, :, m], ((0, 0), (0, _LANE - sh.shape[1])))
         table_b = _bcast_rows(table, cap)  # [R, 128]
-        s_m = jnp.zeros((r_rows, kpad), dtype)
-        for kc in range(kpad // _LANE):
-            g = jnp.take_along_axis(table_b,
-                                    o_k[:, kc * _LANE:(kc + 1) * _LANE],
-                                    axis=1)
-            s_m = jax.lax.dynamic_update_slice(s_m, g, (0, kc * _LANE))
+        pieces = [jnp.take_along_axis(
+            table_b, o_k[:, kc * _LANE:(kc + 1) * _LANE], axis=1)
+            for kc in range(kpad // _LANE)]
+        s_m = (jnp.concatenate(pieces, axis=1) if len(pieces) > 1
+               else pieces[0])
         for c, g_c in enumerate((gx, gy, gz)):
             v = -jnp.sum(s_m * g_c)
             dh_acc = dh_acc + jnp.where((rows8 == m) & (cols8 == c), v, 0.0)
@@ -363,9 +418,9 @@ def _wing_center(gx, gy, gz, inv_r, t_rows, cap, kpad, wpad, fcen, wing):
     """Emit center-role force (lane reduce) and window-lane wing force
     (decompact via the inverse map) into the output refs."""
     r_rows = t_rows * cap
-    fcen[:, 0, :] = jnp.sum(gx, axis=-1).reshape(t_rows, cap)
-    fcen[:, 1, :] = jnp.sum(gy, axis=-1).reshape(t_rows, cap)
-    fcen[:, 2, :] = jnp.sum(gz, axis=-1).reshape(t_rows, cap)
+    fcen[:, 0, :] = _row_sum(gx, t_rows, cap)
+    fcen[:, 1, :] = _row_sum(gy, t_rows, cap)
+    fcen[:, 2, :] = _row_sum(gz, t_rows, cap)
     invv = inv_r[...].reshape(r_rows, wpad)
     for c, g_c in enumerate((gx, gy, gz)):
         w_c = _gather_lanes(g_c, invv, wpad // _LANE)  # [R, wpad]
@@ -384,6 +439,19 @@ def _rep_consts(rep, sections, dtype):
     alpha = {s: float(rep.alpha[s]) for s, _ in sections}
     zeff = {s: float(rep.zeff[s]) for s, _ in sections}
     return alpha, zeff
+
+
+def _rep_params(rep, sections, masks, pcs2, t_rows, cap, dtype):
+    """(a_ij, z_ij) [R, kpad]: neighbor species from the static section
+    lane masks, center species from the [T, cap] species plane."""
+    alpha, zeff = _rep_consts(rep, sections, dtype)
+    a_j = sum(masks[s] * alpha[s] for s, _ in sections)
+    z_j = sum(masks[s] * zeff[s] for s, _ in sections)
+    a_i = sum((pcs2 == s).astype(dtype) * alpha[s] for s, _ in sections)
+    z_i = sum((pcs2 == s).astype(dtype) * zeff[s] for s, _ in sections)
+    a_ij = jnp.sqrt(jnp.maximum(_mul_rows(a_j, a_i, t_rows, cap), 1e-12))
+    z_ij = _mul_rows(z_j, z_i, t_rows, cap)
+    return a_ij, z_ij
 
 
 def _rep_pair(rep, dist, a_ij, z_ij, valid, dtype):
@@ -436,33 +504,20 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out, erep,
     x = jnp.minimum(dist, rc + 1.0) - mu0
     pref = 0.25 * fc
 
-    cols = {}
+    out[...] = jnp.zeros_like(out[...])
     for k in range(n_shf):
         xk = x - k * delta
         t = pref * jnp.exp(-eta * xk * xk)
         for s, _ in sections:
-            cols[s * n_shf + k] = jnp.sum(t * masks[s], axis=-1)
-    out[...] = jnp.zeros_like(out[...])
-    for col, v in cols.items():
-        out[:, :, col] = v.reshape(t_rows, cap)
+            out[:, :, s * n_shf + k] = _row_sum(t * masks[s], t_rows, cap)
 
     if rep is None:
         erep[...] = jnp.zeros_like(erep[...])
     else:
-        alpha, zeff = _rep_consts(rep, sections, dtype)
-        a_j = sum(masks[s] * alpha[s] for s, _ in sections)
-        z_j = sum(masks[s] * zeff[s] for s, _ in sections)
-        pcsv = pcs[...].reshape(r_rows, 1)
-        a_i = jnp.zeros((r_rows, 1), dtype)
-        z_i = jnp.zeros((r_rows, 1), dtype)
-        for s, _ in sections:
-            sm = (pcsv == s).astype(dtype)
-            a_i = a_i + sm * alpha[s]
-            z_i = z_i + sm * zeff[s]
-        a_ij = jnp.sqrt(jnp.maximum(a_i * a_j, 1e-12))
-        z_ij = z_i * z_j
+        a_ij, z_ij = _rep_params(rep, sections, masks, pcs[...], t_rows,
+                                 cap, dtype)
         e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        erep[...] = jnp.sum(e, axis=-1).reshape(t_rows, cap)
+        erep[...] = _row_sum(e, t_rows, cap)
 
 
 def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
@@ -484,7 +539,7 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
                     (-0.5 * math.pi / rc) * jnp.sin(dist * (math.pi / rc)),
                     jnp.zeros((), dtype))
     x = jnp.minimum(dist, rc + 1.0) - mu0
-    gav = ga[...].reshape(r_rows, -1)
+    gav3 = ga[...]  # [T, cap, srl]
 
     gamma = jnp.zeros((r_rows, kpad), dtype)
     for k in range(n_shf):
@@ -492,24 +547,15 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
         e = jnp.exp(-eta * xk * xk)
         db = 0.25 * e * (dfc - (2.0 * eta) * xk * fc)
         for s, _ in sections:
-            g_col = gav[:, s * n_shf + k]
-            gamma = gamma + db * (g_col[:, None] * masks[s])
+            gamma = gamma + _mul_rows(db * masks[s],
+                                      gav3[:, :, s * n_shf + k],
+                                      t_rows, cap)
 
     if rep is not None:
-        alpha, zeff = _rep_consts(rep, sections, dtype)
-        a_j = sum(masks[s] * alpha[s] for s, _ in sections)
-        z_j = sum(masks[s] * zeff[s] for s, _ in sections)
-        pcsv = pcs[...].reshape(r_rows, 1)
-        a_i = jnp.zeros((r_rows, 1), dtype)
-        z_i = jnp.zeros((r_rows, 1), dtype)
-        for s, _ in sections:
-            sm = (pcsv == s).astype(dtype)
-            a_i = a_i + sm * alpha[s]
-            z_i = z_i + sm * zeff[s]
-        a_ij = jnp.sqrt(jnp.maximum(a_i * a_j, 1e-12))
-        z_ij = z_i * z_j
+        a_ij, z_ij = _rep_params(rep, sections, masks, pcs[...], t_rows,
+                                 cap, dtype)
         _, de = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        gamma = gamma + grep[...].reshape(r_rows, 1) * de
+        gamma = gamma + _mul_rows(de, grep[...], t_rows, cap)
 
     inv_d = 1.0 / dist
     gx = gamma * ax * inv_d
