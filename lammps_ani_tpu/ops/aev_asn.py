@@ -719,6 +719,10 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
     big = jnp.asarray(2.0 * rca + 10.0, dtype)
     out = {}
     deficit = jnp.full((), -(2.0 ** 20), dtype)
+    # packed stage-2 rank per stage-1 lane (dead: LANE-1 -> zero pad lane
+    # of any gather source); offsets follow the packed A-axis layout
+    rank2 = jnp.full((r_rows, kpad), _LANE - 1, jnp.int32)
+    a_off = 0
     for s, _ in sections:
         a_s = caps[s]
         if a_s == 0:
@@ -729,6 +733,9 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
         rank = jax.lax.dot_general(
             m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype)
+        rank2 = jnp.where((m > 0.5) & (rank < a_s),
+                          rank.astype(jnp.int32) + a_off, rank2)
+        a_off += a_s
         sels = [((rank == float(a)) * m) for a in range(a_s)]
 
         def compact(x):
@@ -750,35 +757,42 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
             (-0.5 * math.pi / rca) * jnp.sin(cd * (math.pi / rca)),
             jnp.zeros((), dtype))
         out[s] = dict(ux=cax * inv, uy=cay * inv, uz=caz * inv,
-                      d=d_safe, fc=fc, dfc=dfc, mask=mask, sels=sels)
-    return out, deficit
+                      d=d_safe, fc=fc, dfc=dfc)
+    return out, deficit, rank2
+
+def _a_offsets(sections, caps):
+    """Packed per-species offsets along the stage-2 compact A axis."""
+    offs, off = {}, 0
+    for s, _ in sections:
+        if caps[s] == 0:
+            continue
+        offs[s] = (off, caps[s])
+        off += caps[s]
+    return offs, off
 
 
-def _angular_fwd_asn_kernel(px, py, pz, cx, cy, cz, idxr, out, ovf,
-                            *, spec, cap, caps, sections, kpad, wpad,
-                            dtype):
-    consts = _angular_consts(spec, dtype)
-    nsz = len(spec.shf_z)
+_COMPACT_KEYS = ("ux", "uy", "uz", "d", "fc", "dfc")
+
+
+def _compact_asn_kernel(px, py, pz, cx, cy, cz, idxr, *refs,
+                        spec, cap, caps, sections, kpad, wpad, dtype):
+    """Stage-2 compaction to packed per-species A sections (one small
+    kernel: Mosaic's stack allocator never reuses slots inside a kernel
+    body, so the angular channel is split into several bounded kernels
+    with HBM intermediates instead of one monolith)."""
+    out_refs = dict(zip(_COMPACT_KEYS, refs[:-2]))
+    rank_o, ovf = refs[-2], refs[-1]
     t_rows = px.shape[0]
-
     iv, ax, ay, az, dist, valid = _compact_geometry(
         px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
-    slots, deficit = _stage2_compact(
+    slots, deficit, rank2 = _stage2_compact(
         spec, sections, caps, iv, ax, ay, az, dist, valid, t_rows, cap,
         kpad, dtype)
-
-    out[...] = jnp.zeros_like(out[...])
-    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
-        if s1 not in slots or s2 not in slots:
-            continue
-        pt = _angular_pair_terms(spec, consts, slots[s1], slots[s2],
-                                 a1, a2, same, dtype)
-        scale = 1.0 if same else 2.0
-        for j, e in enumerate(pt["e_j"]):
-            f2 = pt["fc12"] * e
-            for m, f1 in enumerate(pt["f1_m"]):
-                out[:, :, ch0 + j * nsz + m] = scale * jnp.sum(
-                    f2 * f1, axis=-1)
+    order = [s for s, _ in sections if caps[s] > 0]
+    for key in _COMPACT_KEYS:
+        out_refs[key][...] = jnp.concatenate(
+            [slots[s][key] for s in order], axis=-1)
+    rank_o[...] = rank2.reshape(t_rows, cap, kpad)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -790,106 +804,187 @@ def _angular_fwd_asn_kernel(px, py, pz, cx, cy, cz, idxr, out, ovf,
         (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
 
 
-def _angular_bwd_asn_kernel(px, py, pz, cx, cy, cz, idxr, inv_r, ga, sh,
-                            fcen, wing, dh, *, spec, cap, caps, sections,
-                            kpad, wpad, dtype):
+def _sect(ref3, off, a):
+    return ref3[...][:, :, off:off + a]
+
+
+def _block_slots(refs, off, a):
+    vals = dict(zip(_COMPACT_KEYS, (_sect(r, off, a) for r in refs)))
+    return vals
+
+
+def _chunk1(a1, a2):
+    """Arm-1 slots per grid instance: bounds the pair-lane chunk (and so
+    the kernel's stack -- Mosaic never reuses stack slots, so total
+    allocation scales with the chunk, not peak liveness)."""
+    c1 = max(1, 64 // a2)
+    while a1 % c1:
+        c1 -= 1
+    return c1
+
+
+def _slots_from(refs, with_dfc=False, lead=False):
+    keys = _COMPACT_KEYS if with_dfc else _COMPACT_KEYS[:5]
+    vals = ((r[...][0] if lead else r[...]) for r in refs)
+    return dict(zip(keys, vals))
+
+
+def _pair_terms_chunk(spec, sl1, sl2, c1, a2, same, g, dtype):
+    """_angular_pair_terms for one arm-1 chunk; the same-species diagonal
+    uses the chunk's global slot offset (g * c1)."""
     consts = _angular_consts(spec, dtype)
-    eta, zeta, mu0, delta, steps, cos_m, sin_m = consts
+    pt = _angular_pair_terms(spec, consts, sl1, sl2, c1, a2, False, dtype)
+    if same:
+        tq = pt["fc12"].shape
+        qi = jax.lax.broadcasted_iota(jnp.int32, tq, 2)
+        diag = (qi // a2 + g * c1) == (qi % a2)
+        pt["fc12"] = jnp.where(diag, jnp.zeros((), dtype), pt["fc12"])
+        pt["diag"] = diag
+    return pt
+
+
+def _block_fwd_kernel(*refs, spec, c1, a2, same, dtype):
+    """One species-pair block of the angular AEV, one arm-1 chunk per
+    grid instance, accumulated into the revisited out block."""
+    sl1 = _slots_from(refs[0:5], lead=True)
+    sl2 = _slots_from(refs[5:10])
+    out = refs[10]
+    nsz = len(spec.shf_z)
+    g = pl.program_id(1)
+    pt = _pair_terms_chunk(spec, sl1, sl2, c1, a2, same, g, dtype)
+    scale = 1.0 if same else 2.0
+
+    @pl.when(g == 0)
+    def _():
+        out[...] = jnp.zeros_like(out[...])
+
+    for j, e in enumerate(pt["e_j"]):
+        f2 = pt["fc12"] * e
+        for m, f1 in enumerate(pt["f1_m"]):
+            col = j * nsz + m
+            out[:, :, col] = out[:, :, col] + scale * jnp.sum(
+                f2 * f1, axis=-1)
+
+
+def _place(val, off, atot):
+    """[T, cap, a] -> [T, cap, atot] at static lane offset (concat form)."""
+    t, c, a = val.shape
+    pieces = []
+    if off:
+        pieces.append(jnp.zeros((t, c, off), val.dtype))
+    pieces.append(val)
+    if atot - off - a:
+        pieces.append(jnp.zeros((t, c, atot - off - a), val.dtype))
+    return jnp.concatenate(pieces, axis=-1) if len(pieces) > 1 else val
+
+
+def _block_bwd_kernel(*refs, spec, c1, a2, same, dtype):
+    """Per-slot cotangents of one species-pair block, one arm-1 chunk per
+    grid instance. Outputs: 5 arm-1 quantities written to the instance's
+    own chunk slice, 5 arm-2 quantities accumulated across instances."""
+    sl1 = _slots_from(refs[0:5], lead=True)
+    sl2 = _slots_from(refs[5:10])
+    ga = refs[10]
+    arm1_o = refs[11:16]
+    arm2_o = refs[16:21]
+    eta, zeta, mu0, delta, steps, cos_m, sin_m = _angular_consts(spec,
+                                                                 dtype)
     rca = spec.angular_cutoff
     nsz = len(spec.shf_z)
-    t_rows = px.shape[0]
-    r_rows = t_rows * cap
-
-    iv, ax, ay, az, dist, valid = _compact_geometry(
-        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
-    slots, _ = _stage2_compact(
-        spec, sections, caps, iv, ax, ay, az, dist, valid, t_rows, cap,
-        kpad, dtype)
+    g = pl.program_id(1)
+    pt = _pair_terms_chunk(spec, sl1, sl2, c1, a2, same, g, dtype)
+    scale = 1.0 if same else 2.0
+    tq = pt["fc12"].shape
     gav = ga[...]
 
-    gacc = {s: dict(ux=jnp.zeros_like(sl["d"]), uy=jnp.zeros_like(sl["d"]),
-                    uz=jnp.zeros_like(sl["d"]), d=jnp.zeros_like(sl["d"]),
-                    fc=jnp.zeros_like(sl["d"]))
-            for s, sl in slots.items()}
-
-    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
-        if s1 not in slots or s2 not in slots:
-            continue
-        sl1, sl2 = slots[s1], slots[s2]
-        pt = _angular_pair_terms(spec, consts, sl1, sl2, a1, a2, same,
-                                 dtype)
-        scale = 1.0 if same else 2.0
-        tq = pt["fc12"].shape
-
-        df2 = [jnp.zeros(tq, dtype) for _ in spec.shf_a]
-        dcos = jnp.zeros(tq, dtype)
-        for m in range(nsz):
-            f1 = pt["f1_m"][m]
-            df1_m = jnp.zeros(tq, dtype)
-            for j in range(len(spec.shf_a)):
-                g_jm = gav[:, :, ch0 + j * nsz + m] * scale
-                f2 = pt["fc12"] * pt["e_j"][j]
-                df1_m = df1_m + g_jm[:, :, None] * f2
-                df2[j] = df2[j] + g_jm[:, :, None] * f1
-            dbase = df1_m * (zeta / pt["base_m"][m]) * f1
-            dcos = dcos + dbase * 0.5 * (
-                cos_m[m] - pt["c95"] / pt["sv"] * sin_m[m]) * 0.95
-
-        drmean = jnp.zeros(tq, dtype)
-        dfc12 = jnp.zeros(tq, dtype)
+    df2 = [jnp.zeros(tq, dtype) for _ in spec.shf_a]
+    dcos = jnp.zeros(tq, dtype)
+    for m in range(nsz):
+        f1 = pt["f1_m"][m]
+        df1_m = jnp.zeros(tq, dtype)
         for j in range(len(spec.shf_a)):
-            e = pt["e_j"][j]
-            drmean = drmean + df2[j] * pt["fc12"] * e * (
-                -2.0 * eta) * (pt["x2"] - j * delta)
-            dfc12 = dfc12 + df2[j] * e
-        drmean = jnp.where(pt["d1p"] + pt["d2p"] <= 2.0 * (rca + 1.0),
-                           drmean, jnp.zeros((), dtype))
-        if same:
-            qi = jax.lax.broadcasted_iota(jnp.int32, tq, 2)
-            diag = (qi // a2) == (qi % a2)
-            dfc12 = jnp.where(diag, jnp.zeros((), dtype), dfc12)
+            g_jm = gav[:, :, j * nsz + m] * scale
+            f2 = pt["fc12"] * pt["e_j"][j]
+            df1_m = df1_m + g_jm[:, :, None] * f2
+            df2[j] = df2[j] + g_jm[:, :, None] * f1
+        dbase = df1_m * (zeta / pt["base_m"][m]) * f1
+        dcos = dcos + dbase * 0.5 * (
+            cos_m[m] - pt["c95"] / pt["sv"] * sin_m[m]) * 0.95
 
-        u1x, u1y, u1z = pt["u1"]
-        u2x, u2y, u2z = pt["u2"]
-        terms = [
-            (s1, 1, dict(ux=dcos * u2x, uy=dcos * u2y, uz=dcos * u2z,
-                         d=0.5 * drmean, fc=dfc12 * pt["fc2p"])),
-            (s2, 2, dict(ux=dcos * u1x, uy=dcos * u1y, uz=dcos * u1z,
-                         d=0.5 * drmean, fc=dfc12 * pt["fc1p"])),
-        ]
-        for s_arm, arm, parts in terms:
-            for key, val in parts.items():
-                gacc[s_arm][key] = gacc[s_arm][key] + _arm_reduce(
-                    val, a1, a2, arm)
+    drmean = jnp.zeros(tq, dtype)
+    dfc12 = jnp.zeros(tq, dtype)
+    for j in range(len(spec.shf_a)):
+        e = pt["e_j"][j]
+        drmean = drmean + df2[j] * pt["fc12"] * e * (
+            -2.0 * eta) * (pt["x2"] - j * delta)
+        dfc12 = dfc12 + df2[j] * e
+    drmean = jnp.where(pt["d1p"] + pt["d2p"] <= 2.0 * (rca + 1.0),
+                       drmean, jnp.zeros((), dtype))
+    if same:
+        dfc12 = jnp.where(pt["diag"], jnp.zeros((), dtype), dfc12)
 
-    # per-slot cotangents -> frozen compact lanes (stage-2 transpose)
-    gtx = jnp.zeros((r_rows, kpad), dtype)
-    gty = jnp.zeros((r_rows, kpad), dtype)
-    gtz = jnp.zeros((r_rows, kpad), dtype)
-    for s, sl in slots.items():
-        g = gacc[s]
-        inv = 1.0 / sl["d"]
-        gu_dot_u = (g["ux"] * sl["ux"] + g["uy"] * sl["uy"]
-                    + g["uz"] * sl["uz"])
-        g_cd = jnp.where(sl["mask"],
-                         g["d"] + g["fc"] * sl["dfc"] - gu_dot_u * inv,
-                         jnp.zeros((), dtype))
-        gvx = jnp.where(sl["mask"], g["ux"] * inv, 0.0) + g_cd * sl["ux"]
-        gvy = jnp.where(sl["mask"], g["uy"] * inv, 0.0) + g_cd * sl["uy"]
-        gvz = jnp.where(sl["mask"], g["uz"] * inv, 0.0) + g_cd * sl["uz"]
-        a_s = gvx.shape[-1]
-        sels = sl["sels"]
+    u1x, u1y, u1z = pt["u1"]
+    u2x, u2y, u2z = pt["u2"]
+    arm1 = dict(ux=dcos * u2x, uy=dcos * u2y, uz=dcos * u2z,
+                d=0.5 * drmean, fc=dfc12 * pt["fc2p"])
+    arm2 = dict(ux=dcos * u1x, uy=dcos * u1y, uz=dcos * u1z,
+                d=0.5 * drmean, fc=dfc12 * pt["fc1p"])
+    for ref, (key, val) in zip(arm1_o, arm1.items()):
+        ref[0] = _arm_reduce(val, c1, a2, 1)
 
-        def decompact(gq):
-            g2 = gq.reshape(r_rows, a_s)
-            acc = jnp.zeros((r_rows, kpad), dtype)
-            for a in range(a_s):
-                acc = acc + sels[a] * g2[:, a:a + 1]
-            return acc
+    @pl.when(g == 0)
+    def _():
+        for ref in arm2_o:
+            ref[...] = jnp.zeros_like(ref[...])
 
-        gtx = gtx + decompact(gvx)
-        gty = gty + decompact(gvy)
-        gtz = gtz + decompact(gvz)
+    for ref, (key, val) in zip(arm2_o, arm2.items()):
+        ref[...] = ref[...] + _arm_reduce(val, c1, a2, 2)
+
+
+def _decompact_asn_kernel(rank_r, inv_r, idxr, cux, cuy, cuz, cd, cfc,
+                          cdfc, gux, guy, guz, gd, gfc, sh,
+                          fcen, wing, dh,
+                          *, spec, cap, caps, sections, kpad, wpad, atot,
+                          dtype):
+    """Per-slot cotangents -> stage-1 lanes (one rank-indexed vreg gather
+    per quantity) -> window lanes (inv gathers) -> center/wing forces and
+    the box cotangent."""
+    t_rows = rank_r.shape[0]
+    r_rows = t_rows * cap
+    rank2 = rank_r[...].reshape(r_rows, kpad)
+    iv = idxr[...].reshape(r_rows, kpad)
+    refs = (cux, cuy, cuz, cd, cfc, cdfc)
+
+    # chain per-slot cotangents into per-slot vector cotangents g_vec on
+    # the packed A axis (small [T, cap, atot] arrays)
+    uxv, uyv, uzv, dv, fcv, dfcv = (r[...] for r in refs)
+    mask = dv < spec.angular_cutoff + 5.0
+    inv_d = jnp.where(mask, 1.0 / dv, 0.0)
+    gu_dot_u = (gux[...] * uxv + guy[...] * uyv + guz[...] * uzv)
+    g_cd = jnp.where(mask,
+                     gd[...] + gfc[...] * dfcv - gu_dot_u * inv_d,
+                     jnp.zeros((), dtype))
+    gvx = jnp.where(mask, gux[...] * inv_d, 0.0) + g_cd * uxv
+    gvy = jnp.where(mask, guy[...] * inv_d, 0.0) + g_cd * uyv
+    gvz = jnp.where(mask, guz[...] * inv_d, 0.0) + g_cd * uzv
+
+    # stage-2 decompact: stage-1 lane k's cotangent = g_vec[rank2[k]]
+    # (one vreg-local dynamic gather; dead lanes hit the zero pad lane)
+    def pack128(v3):
+        v2 = v3.reshape(r_rows, atot)
+        return jnp.pad(v2, ((0, 0), (0, _LANE - atot)))
+
+    r_clip = jnp.clip(rank2, 0, _LANE - 1)
+    live = rank2 < atot
+    chunks = {0: [], 1: [], 2: []}
+    for kc in range(kpad // _LANE):
+        sl_ = slice(kc * _LANE, (kc + 1) * _LANE)
+        for ci, src in enumerate((gvx, gvy, gvz)):
+            g = jnp.take_along_axis(pack128(src), r_clip[:, sl_], axis=1)
+            chunks[ci].append(jnp.where(live[:, sl_], g, 0.0))
+    cat = lambda ps: (jnp.concatenate(ps, axis=1) if len(ps) > 1
+                      else ps[0])
+    gtx, gty, gtz = cat(chunks[0]), cat(chunks[1]), cat(chunks[2])
 
     _wing_center(gtx, gty, gtz, inv_r, t_rows, cap, kpad, wpad, fcen,
                  wing)
@@ -902,6 +997,41 @@ def _angular_bwd_asn_kernel(px, py, pz, cx, cy, cz, idxr, inv_r, ga, sh,
                                          gtx, gty, gtz, dtype)
 
 
+def _angular_specs(cap, kpad, wpad, atot, al, nc_pad, dtype):
+    cmp_specs = [_k3_spec(cap, atot)] * 6
+    cmp_shapes = [jax.ShapeDtypeStruct((nc_pad, cap, atot), dtype)] * 6
+    return cmp_specs, cmp_shapes
+
+
+def _angular_compact_call(spec, grid, sections, kpad, caps, interpret,
+                          planes, aidx_p, nc_pad, dtype):
+    cap = grid.cap
+    wpad = planes[4].shape[-1]
+    a_offs, atot = _a_offsets(sections, caps)
+    px, py, pz, cx, cy, cz = planes[:3] + planes[4:7]
+    cmp_specs, cmp_shapes = _angular_specs(cap, kpad, wpad, atot,
+                                           spec.angular_length, nc_pad,
+                                           dtype)
+    kern = functools.partial(
+        _compact_asn_kernel, spec=spec, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nc_pad // _T_ROWS,),
+        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 3
+        + [_k3_spec(cap, kpad)],
+        out_specs=cmp_specs + [_k3_spec(cap, kpad), _acc1_spec()],
+        out_shape=cmp_shapes
+        + [jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
+           jax.ShapeDtypeStruct((8, 128), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, cx, cy, cz, aidx_p)
+    compact, rank2, ovf = outs[:6], outs[6], outs[7]
+    return compact, rank2, ovf[0, 0], a_offs, atot
+
+
 def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
                       inv_bins, csp_grid, cell, slot, aidx):
     cap = grid.cap
@@ -911,24 +1041,71 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
     nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
         grid, inv_bins, csp_grid, pos, h, wpad)
     aidx_p = _pad_rows(aidx, nc_pad, wpad)
+    planes = (px, py, pz, pcs, cx, cy, cz, csp)
+    compact, rank2, deficit, a_offs, atot = _angular_compact_call(
+        spec, grid, sections, kpad, caps, interpret, planes, aidx_p,
+        nc_pad, dtype)
 
-    al = spec.angular_length
-    kern = functools.partial(
-        _angular_fwd_asn_kernel, spec=spec, cap=cap, caps=caps,
-        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
-    out, ovf = pl.pallas_call(
-        kern,
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 3
-        + [_k3_spec(cap, kpad)],
-        out_specs=[_out1_spec(cap, al), _acc1_spec()],
-        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, al), dtype),
-                   jax.ShapeDtypeStruct((8, 128), dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-        interpret=interpret,
-    )(px, py, pz, cx, cy, cz, aidx_p)
-    return out[:nc][cell, slot], ovf[0, 0]
+    asub = spec.angular_sublength
+    out = jnp.zeros((nc_pad, cap, spec.angular_length), dtype)
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
+        if s1 not in a_offs or s2 not in a_offs:
+            continue
+        arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
+        c1 = _chunk1(a1, a2)
+        arm1 = [_group_arm1(x, a1 // c1, c1) for x in arm1]
+        kern = functools.partial(
+            _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
+            dtype=dtype)
+        blk = pl.pallas_call(
+            kern,
+            grid=(nc_pad // _T_ROWS, a1 // c1),
+            in_specs=[_arm1_spec(cap, c1)] * 5 + [_arm2_spec(cap, a2)] * 5,
+            out_specs=_arm2_spec(cap, asub),
+            out_shape=jax.ShapeDtypeStruct((nc_pad, cap, asub), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(*arm1, *arm2)
+        out = jax.lax.dynamic_update_slice(out, blk, (0, 0, ch0))
+    return out[:nc][cell, slot], deficit
+
+
+def _arm1_spec(cap, c1):
+    # chunk (group) axis FIRST: Mosaic only tiles the last two dims when
+    # they are 8/128-divisible or equal the array dims
+    return pl.BlockSpec((1, _T_ROWS, cap, c1), lambda i, g: (g, i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _group_arm1(x, n_g, c1):
+    """[NCp, cap, a1] -> [n_g, NCp, cap, c1] (chunk axis first)."""
+    ncp, cap, a1 = x.shape
+    return jnp.moveaxis(x.reshape(ncp, cap, n_g, c1), 2, 0)
+
+
+def _ungroup_arm1(x):
+    """[n_g, NCp, cap, c1] -> [NCp, cap, a1]."""
+    n_g, ncp, cap, c1 = x.shape
+    return jnp.moveaxis(x, 0, 2).reshape(ncp, cap, n_g * c1)
+
+
+def _arm2_spec(cap, a):
+    return pl.BlockSpec((_T_ROWS, cap, a), lambda i, g: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap, with_dfc=False):
+    """XLA-sliced per-arm views of the packed compact arrays (free
+    slices; lets the chunked BlockSpecs start at block index 0)."""
+    nq = 6 if with_dfc else 5
+    off1, a1 = a_offs[s1]
+    off2, a2 = a_offs[s2]
+    arm1 = [jax.lax.slice(c, (0, 0, off1), (nc_pad, cap, off1 + a1))
+            for c in compact[:nq]]
+    arm2 = [jax.lax.slice(c, (0, 0, off2), (nc_pad, cap, off2 + a2))
+            for c in compact[:nq]]
+    return arm1, arm2
 
 
 def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
@@ -942,22 +1119,66 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
         grid, inv_bins, csp_grid, pos, h, wpad)
     aidx_p = _pad_rows(aidx, nc_pad, wpad)
     ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
+    planes = (px, py, pz, pcs, cx, cy, cz, csp)
+    compact, rank2, _, a_offs, atot = _angular_compact_call(
+        spec, grid, sections, kpad, caps, interpret, planes, aidx_p,
+        nc_pad, dtype)
+    assert atot <= _LANE - 1, atot
     ga = _pad_rows(_to_grid_rows(inv_bins, ga_flat, 0.0), nc_pad, 0.0)
+
+    asub = spec.angular_sublength
+
+    def placed(val, off, a):
+        return jnp.pad(val, ((0, 0), (0, 0), (off, atot - off - a)))
+
+    gsum = None
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
+        if s1 not in a_offs or s2 not in a_offs:
+            continue
+        off1, a1_ = a_offs[s1]
+        off2, a2_ = a_offs[s2]
+        arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
+        ga_blk = jax.lax.dynamic_slice(
+            ga, (0, 0, ch0), (nc_pad, cap, asub))
+        c1 = _chunk1(a1, a2)
+        n_g = a1 // c1
+        arm1 = [_group_arm1(x, n_g, c1) for x in arm1]
+        kern = functools.partial(
+            _block_bwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
+            dtype=dtype)
+        outs = pl.pallas_call(
+            kern,
+            grid=(nc_pad // _T_ROWS, n_g),
+            in_specs=[_arm1_spec(cap, c1)] * 5 + [_arm2_spec(cap, a2)] * 5
+            + [_arm2_spec(cap, asub)],
+            out_specs=[_arm1_spec(cap, c1)] * 5
+            + [_arm2_spec(cap, a2)] * 5,
+            out_shape=[jax.ShapeDtypeStruct((n_g, nc_pad, cap, c1),
+                                            dtype)] * 5
+            + [jax.ShapeDtypeStruct((nc_pad, cap, a2), dtype)] * 5,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(*arm1, *arm2, ga_blk)
+        contrib = [placed(_ungroup_arm1(o1), off1, a1)
+                   + placed(o2, off2, a2)
+                   for o1, o2 in zip(outs[:5], outs[5:])]
+        gsum = contrib if gsum is None else [a + b for a, b in
+                                             zip(gsum, contrib)]
+
     sh = _wrap_shift_tables(grid, 1, dtype)
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
         1, nc_pad, 27, 3)
-
-    al = ga_flat.shape[-1]
     kern = functools.partial(
-        _angular_bwd_asn_kernel, spec=spec, cap=cap, caps=caps,
-        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+        _decompact_asn_kernel, spec=spec, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, wpad=wpad, atot=atot, dtype=dtype)
     fcen, wing, dh_pad = pl.pallas_call(
         kern,
         grid=(nc_pad // _T_ROWS,),
-        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 3
-        + [_k3_spec(cap, kpad), _k3_spec(cap, wpad),
-           _out1_spec(cap, al),
-           pl.BlockSpec((1, _T_ROWS, 27, 3), lambda i: (0, i, 0, 0),
+        in_specs=[_k3_spec(cap, kpad), _k3_spec(cap, wpad),
+                  _k3_spec(cap, kpad)]
+        + [_k3_spec(cap, atot)] * 11
+        + [pl.BlockSpec((1, _T_ROWS, 27, 3), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[_out1_spec(3, cap),
                    pl.BlockSpec((1, _T_ROWS, 3, wpad),
@@ -972,7 +1193,7 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(px, py, pz, cx, cy, cz, aidx_p, ainv_p, ga, sh)
+    )(rank2, ainv_p, aidx_p, *compact, *gsum, sh)
 
     dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
     return dpos, dh_pad[:3, :3]
