@@ -78,6 +78,10 @@ def minimize(sim, state, max_steps: int = 1000, ftol: float = 1e-4,
 
         (state, carry), fmaxes = jax.lax.scan(
             body, (state, carry), length=n_steps)
+        if sim._pallas_asn:
+            # match Simulation._chunk: keep the returned pytree structure
+            # bins-free so subsequent chunks/runs compile once
+            state = state.replace(bins=None)
         return state, carry, fmaxes[-1]
 
     jitted = jax.jit(lambda s, cr: fire_chunk(s, cr, chunk))

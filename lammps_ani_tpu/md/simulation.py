@@ -221,6 +221,11 @@ class Simulation:
             return pos_w, nlist, nbrs, bins, pe, force, virial
 
         pos_w, nlist, nbrs, bins, pe, force, virial = _init_compute(pos, box)
+        if self._pallas_asn:
+            # keep the initial state's pytree structure identical to the
+            # chunk output's (which drops the stale GB-scale assignment
+            # tables) so _jitted_chunk compiles once, not per-structure
+            bins = None
         ts, bs = None, None
         if isinstance(self.integrator, integrate.NoseHooverNPT):
             ts = self.integrator.thermostat.init(self.dtype)
@@ -753,6 +758,11 @@ class Simulation:
         carry0 = (state, jnp.ones((), bool), jnp.zeros((), jnp.int32))
         (state, _, n_done), (traj, deficits) = jax.lax.scan(
             body, carry0, length=n_steps)
+        if self._pallas_asn:
+            # the frozen assignment tables are ~GB-scale at bench sizes
+            # and stale after the chunk; dropping them from the returned
+            # state halves their peak HBM residency across the rebuild
+            state = state.replace(bins=None)
         # max displacement since rebuild (diagnostics; staleness is now
         # prevented by the in-scan check, not by a post-hoc error)
         disp = jnp.max(jnp.linalg.norm(state.pos - state.pos_at_rebuild,

@@ -260,30 +260,30 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
 
 
 def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, k_total, dtype):
-    """idx (compact lane -> window lane) from the inverse map: one-hot
-    sweep over compact lanes, chunked over the window."""
+    """idx (compact lane -> window lane) from the inverse map: a
+    fori_loop one-hot sweep over compact lanes, chunked over the window.
+
+    The loop body compiles once and its stack slots are reused across
+    iterations; a Python-unrolled sweep gave every select a fresh Mosaic
+    stack slot and blew the 16 MB scoped-vmem limit at bench sizes."""
     t_rows = inv_r.shape[0]
     r_rows = t_rows * cap
     invv = inv_r[...].reshape(r_rows, wpad)
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, kpad), 1)
-    idx_o[...] = jnp.full((t_rows, cap, kpad), wpad, jnp.int32)
-    # Mosaic's stack allocator gives every unrolled select a fresh slot
-    # (no reuse along the chain), so a single long accumulation chain
-    # blows the 16 MB scoped limit; round-tripping through the output ref
-    # every 16 columns bounds the live chain.
-    blk = 16
-    for c in range(wpad // _LANE):
-        lo = c * _LANE
-        chunk = invv[:, lo:lo + _LANE]
-        w_val = jax.lax.broadcasted_iota(
-            jnp.int32, (r_rows, _LANE), 1) + lo
-        for kb in range(0, k_total, blk):
-            upd = idx_o[...].reshape(r_rows, kpad)
-            for k in range(kb, min(kb + blk, k_total)):
-                sel = chunk == k
-                hit = jnp.max(jnp.where(sel, w_val, -1), axis=-1)[:, None]
-                upd = jnp.where((k_iota == k) & (hit >= 0), hit, upd)
-            idx_o[...] = upd.reshape(t_rows, cap, kpad)
+    w_val = jax.lax.broadcasted_iota(jnp.int32, (r_rows, _LANE), 1)
+
+    def body(k, idx_acc):
+        hit = jnp.full((r_rows, 1), -1, jnp.int32)
+        for c in range(wpad // _LANE):
+            lo = c * _LANE
+            h = jnp.max(jnp.where(invv[:, lo:lo + _LANE] == k,
+                                  w_val + lo, -1), axis=-1)[:, None]
+            hit = jnp.maximum(hit, h)
+        return jnp.where((k_iota == k) & (hit >= 0), hit, idx_acc)
+
+    idx = jax.lax.fori_loop(
+        0, k_total, body, jnp.full((r_rows, kpad), wpad, jnp.int32))
+    idx_o[...] = idx.reshape(t_rows, cap, kpad)
 
 
 def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
@@ -1047,7 +1047,10 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
         nc_pad, dtype)
 
     asub = spec.angular_sublength
-    out = jnp.zeros((nc_pad, cap, spec.angular_length), dtype)
+    # flat-row channel assembly: a grid-layout [nc_pad, cap, ang_len]
+    # accumulator costs ~3.5x the flat [n, ang_len] form in HBM (grid row
+    # padding) — gather each block to atom rows and concat channels
+    pieces = {}
     for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
         if s1 not in a_offs or s2 not in a_offs:
             continue
@@ -1067,8 +1070,19 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(*arm1, *arm2)
-        out = jax.lax.dynamic_update_slice(out, blk, (0, 0, ch0))
-    return out[:nc][cell, slot], deficit
+        pieces[ch0] = blk[:nc][cell, slot]
+    n = cell.shape[0]
+    zero_blk = None
+    cols = []
+    for pair_i in range(spec.num_pairs):
+        ch0 = pair_i * asub
+        if ch0 in pieces:
+            cols.append(pieces[ch0])
+        else:
+            if zero_blk is None:
+                zero_blk = jnp.zeros((n, asub), dtype)
+            cols.append(zero_blk)
+    return jnp.concatenate(cols, axis=1), deficit
 
 
 def _arm1_spec(cap, c1):
@@ -1124,7 +1138,6 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
         spec, grid, sections, kpad, caps, interpret, planes, aidx_p,
         nc_pad, dtype)
     assert atot <= _LANE - 1, atot
-    ga = _pad_rows(_to_grid_rows(inv_bins, ga_flat, 0.0), nc_pad, 0.0)
 
     asub = spec.angular_sublength
 
@@ -1138,8 +1151,10 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
         off1, a1_ = a_offs[s1]
         off2, a2_ = a_offs[s2]
         arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
-        ga_blk = jax.lax.dynamic_slice(
-            ga, (0, 0, ch0), (nc_pad, cap, asub))
+        ga_blk = _pad_rows(_to_grid_rows(
+            inv_bins, jax.lax.dynamic_slice(
+                ga_flat, (0, ch0), (ga_flat.shape[0], asub)), 0.0),
+            nc_pad, 0.0)
         c1 = _chunk1(a1, a2)
         n_g = a1 // c1
         arm1 = [_group_arm1(x, n_g, c1) for x in arm1]
