@@ -152,18 +152,23 @@ def main():
                             dtype)
     w_a = jax.random.normal(jax.random.PRNGKey(1), (spec.angular_length,),
                             dtype)
+    # bins/asn tables are traced args, NOT closures: the GB-scale idx/inv
+    # arrays would otherwise be serialized into the remote compile request
+    # (HTTP 413 on the axon tunnel)
     if phase in ("all", "radial"):
-        timeit("radial fwd", lambda p: apasn.radial_aev_asn(
-            spec, grid_r, bins_r, asn_r, p, box, sec_r)[0], pos)
-        timeit("radial vjp", jax.grad(lambda p: jnp.sum(
-            apasn.radial_aev_asn(spec, grid_r, bins_r, asn_r, p, box,
-                                 sec_r)[0] @ w_r)), pos)
+        timeit("radial fwd", lambda p, b, a: apasn.radial_aev_asn(
+            spec, grid_r, b, a, p, box, sec_r)[0], pos, bins_r, asn_r)
+        timeit("radial vjp", lambda p, b, a: jax.grad(
+            lambda q: jnp.sum(apasn.radial_aev_asn(
+                spec, grid_r, b, a, q, box, sec_r)[0] @ w_r))(p),
+            pos, bins_r, asn_r)
     if phase in ("all", "angular"):
-        timeit("angular fwd", lambda p: apasn.angular_aev_asn(
-            spec, grid_a, bins_a, asn_a, p, box, sec_a, caps)[0], pos)
-        timeit("angular vjp", jax.grad(lambda p: jnp.sum(
-            apasn.angular_aev_asn(spec, grid_a, bins_a, asn_a, p, box,
-                                  sec_a, caps)[0] @ w_a)), pos)
+        timeit("angular fwd", lambda p, b, a: apasn.angular_aev_asn(
+            spec, grid_a, b, a, p, box, sec_a, caps)[0], pos, bins_a, asn_a)
+        timeit("angular vjp", lambda p, b, a: jax.grad(
+            lambda q: jnp.sum(apasn.angular_aev_asn(
+                spec, grid_a, b, a, q, box, sec_a, caps)[0] @ w_a))(p),
+            pos, bins_a, asn_a)
     if phase not in ("all", "full"):
         return
 
@@ -188,13 +193,13 @@ def main():
     asn_state = (grid_r, bins_rs, asn_rs, sec_r, grid_a, bins_as, asn_as,
                  sec_a)
 
-    def efv(p):
+    def efv(p, st):
         e, f, w, dfc = potmod.energy_forces_virial_asn(
-            pot, sp_sorted, p, box, asn_state, species_counts=counts)
+            pot, sp_sorted, p, box, st, species_counts=counts)
         return e, f, w
 
-    timeit("energy_forces_virial_asn", efv, pos_sorted)
-    e, f, w = jax.jit(efv)(pos_sorted)
+    timeit("energy_forces_virial_asn", efv, pos_sorted, asn_state)
+    e, f, w = jax.jit(efv)(pos_sorted, asn_state)
     print("pe:", float(e), "fmax:", float(jnp.max(jnp.abs(f))), flush=True)
 
 

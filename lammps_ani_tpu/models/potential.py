@@ -87,6 +87,7 @@ def atomic_energies_ext(
     species_counts: Optional[Sequence[int]] = None,
     local_mask: jax.Array | None = None,
     present_species: Optional[tuple] = None,  # static composition subset
+    mirror_ext: Optional[tuple] = None,  # (mirror [m,k2], mvalid [m,k2])
 ) -> jax.Array:
     """[n] per-atom energies from explicit extended arrays.
 
@@ -96,12 +97,23 @@ def atomic_energies_ext(
     parallel/domain.py) feed it. Differentiable w.r.t. `pos` and `pos_ext`;
     the caller's construction of `pos_ext` determines where ghost forces
     flow (owner atoms or remote shards via ppermute transpose).
+
+    `mirror_ext` (from ops/nbr_grad.build_mirror_ext over ext-rowed
+    neighbor lists) replaces the force backward's serialized scatter into
+    `pos_ext` with a mirror gather — required for device-quality sharded
+    throughput, identical values (up to f32 summation order).
     """
     if local_mask is None:
         local_mask = species >= 0
 
-    pj = pos_ext[idx]  # [n, k, 3]
-    diff = pos[:, None, :] - pj
+    if mirror_ext is not None:
+        from ..ops import nbr_grad
+
+        diff = nbr_grad.neighbor_diff_ext(
+            pos, pos_ext, idx, mask, mirror_ext[0], mirror_ext[1])
+    else:
+        diff = pos[:, None, :] - pos_ext[idx]
+        diff = jnp.where(mask[..., None], diff, 1.0)
     dist = jnp.linalg.norm(jnp.where(mask[..., None], diff, 1.0), axis=-1)
     dist = jnp.where(mask, dist, 1e6)
     species_j = species_ext[idx]

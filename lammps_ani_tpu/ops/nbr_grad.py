@@ -274,6 +274,97 @@ def _dist_bwd(res, g):
 neighbor_dist.defvjp(_dist_fwd, _dist_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Extended-array (sharded) variant: ghosts are halo imports, not images
+# ---------------------------------------------------------------------------
+
+
+def build_mirror_ext(idx, mask, ext_idx, ext_mask, chunk: int = 2048):
+    """Mirror table for the extended-array neighbor form (sharded path).
+
+    In the sharded engine ghosts are halo-imported copies of remote atoms
+    (parallel/domain.py), not periodic images of locals, so the
+    owner/shift mirror of `build_mirror` doesn't apply. The symmetry that
+    does: every directed slot (i local -> a ext) has a transposed entry in
+    a's own row over local candidates (`ext_idx`), because dist2 is
+    computed from the same subtraction up to exact negation. So
+
+        mirror[a, q] = i * k_max + k'   with  i = ext_idx[a, q],
+                                              idx[i, k'] = a,
+
+    and the neighbor-role force on ext slot a becomes a gather over a's
+    own row — the sharded analog of the reference's device-resident
+    full-list accumulation (/root/reference/src/pair_ani_kokkos.cpp:150-169)
+    — with the ghost part delivered to owners by the halo transpose.
+
+    Returns (mirror [m, k2] int32 flat into n*k, mvalid [m, k2], ok).
+    `ok` is False if some valid ext slot found no transposed entry (an
+    untruncated `idx` guarantees it never is).
+    """
+    n, k_max = idx.shape
+    m, k2 = ext_idx.shape
+
+    def chunk_fn(args):
+        eidx_c, emask_c, rows_c = args
+        rows_of_i = idx[eidx_c]  # [c, k2, k_max]
+        hit = rows_of_i == rows_c[:, None, None]
+        kprime = jnp.argmax(hit, axis=-1).astype(jnp.int32)
+        found = jnp.any(hit, axis=-1)
+        mirror = eidx_c * k_max + kprime
+        mvalid = emask_c & found
+        ok = jnp.all(found | ~emask_c)
+        return jnp.where(mvalid, mirror, 0), mvalid, ok
+
+    rows = jnp.arange(m, dtype=jnp.int32)
+    pad = (-m) % chunk
+    padded = lambda x: jnp.pad(
+        x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)) if pad else x
+    args = tuple(
+        padded(x).reshape(-1, chunk, *x.shape[1:])
+        for x in (ext_idx, ext_mask, rows)
+    )
+    mirror, mvalid, oks = jax.lax.map(chunk_fn, args)
+    return (mirror.reshape(-1, k2)[:m], mvalid.reshape(-1, k2)[:m],
+            jnp.all(oks))
+
+
+@jax.custom_vjp
+def neighbor_diff_ext(pos, pos_ext, idx, mask, mirror, mvalid):
+    """[n, k, 3] diff = pos_i - pos_ext[idx] with a mirror-gather backward.
+
+    The cotangent w.r.t. `pos_ext` is, under plain autodiff, a serialized
+    XLA scatter-add of [n, k, 3] rows (the 375 ms/step pattern measured in
+    docs/DESIGN.md); with the `build_mirror_ext` table it is a gather over
+    each ext row's own slots. The caller's `pos_ext` construction
+    (halo_positions) owns delivering ghost cotangents to remote shards via
+    the ppermute transpose.
+    """
+    return _diff_ext_impl(pos, pos_ext, idx, mask)
+
+
+def _diff_ext_impl(pos, pos_ext, idx, mask):
+    diff = pos[:, None, :] - pos_ext[idx]
+    return jnp.where(mask[..., None], diff, 1.0)
+
+
+def _diff_ext_fwd(pos, pos_ext, idx, mask, mirror, mvalid):
+    return (_diff_ext_impl(pos, pos_ext, idx, mask),
+            (pos.shape[0], pos_ext.shape[0], mask, mirror, mvalid))
+
+
+def _diff_ext_bwd(res, g):
+    n, m, mask, mirror, mvalid = res
+    k_max = mask.shape[1]
+    g = jnp.where(mask[..., None], g, 0.0)
+    dpos = jnp.sum(g, axis=1)  # center role: row reduce
+    mirrored = g.reshape(n * k_max, 3)[mirror] * mvalid[..., None]
+    dpos_ext = -jnp.sum(mirrored, axis=1)  # neighbor role: gather
+    return dpos, dpos_ext, None, None, None, None
+
+
+neighbor_diff_ext.defvjp(_diff_ext_fwd, _diff_ext_bwd)
+
+
 def neighbor_displacements_mirror(pos, box, src, shift, mirror, mask):
     """(diff [n,k,3], dist [n,k]) with scatter-free backward.
 

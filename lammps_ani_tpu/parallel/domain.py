@@ -471,3 +471,122 @@ def build_neighbor_matrix_brick(
                     0).astype(jnp.int32)
     max_deg = jnp.where(table_overflow, k_max + 1, jnp.max(counts))
     return idx, nbr_mask, max_deg
+
+
+# ---------------------------------------------------------------------------
+# Ext-rowed neighbor build (mirror-force support, ops/nbr_grad.py)
+# ---------------------------------------------------------------------------
+
+def build_ext_rows(
+    pos_local: jax.Array,  # [n_cap, 3]
+    valid_local: jax.Array,  # [n_cap]
+    pos_ext: jax.Array,  # [n_ext, 3]
+    valid_ext: jax.Array,  # [n_ext]
+    rlist: float,
+    k_ext: int,
+):
+    """[m, k_ext] neighbor rows for EVERY extended atom over LOCAL
+    candidates only — the transposed structure `build_mirror_ext` needs
+    to turn the force scatter into a gather. Brute O(m*n) variant; the
+    brick variant below is the production build. Returns
+    (ext_idx, ext_mask, max_deg_ext)."""
+    n = pos_local.shape[0]
+    m = pos_ext.shape[0]
+    d = pos_ext[:, None, :] - pos_local[None, :, :]
+    dist2 = jnp.sum(d * d, axis=-1)
+    within = dist2 < jnp.asarray(rlist, pos_local.dtype) ** 2
+    not_self = jnp.arange(m)[:, None] != jnp.arange(n)[None, :]
+    mask = within & not_self & valid_local[None, :] & valid_ext[:, None]
+    return _rows_topk(mask, dist2, k_ext)
+
+
+def build_ext_rows_brick(
+    spec: DomainSpec,
+    grid: BrickGrid,
+    pos_local: jax.Array,
+    valid_local: jax.Array,
+    pos_ext: jax.Array,
+    valid_ext: jax.Array,
+    box,
+    rlist: float,
+    k_ext: int,
+):
+    """O(m) brick-cell variant of `build_ext_rows` (runs under shard_map).
+
+    Bins only the LOCAL atoms (the candidate set of every ext row), then
+    window-gathers per ext atom. Any ghost outside the brick-plus-margin
+    grid is > rlist from every local atom (margin = rlist), so clipping
+    its cell coordinate is safe."""
+    n = pos_local.shape[0]
+    m = pos_ext.shape[0]
+    dtype = pos_local.dtype
+    mesh = spec.mesh_shape
+
+    frac = box.to_fractional(pos_ext)
+    lo = jnp.stack([_axis_index(a, mesh).astype(dtype) / mesh[a]
+                    for a in range(3)])
+    extent = jnp.asarray([1.0 / mesh[a] for a in range(3)], dtype)
+    marg = jnp.asarray(grid.margin_frac, dtype)
+    u = (frac - lo[None, :] + marg[None, :]) / (extent + 2.0 * marg)[None, :]
+    ncells = jnp.asarray(grid.ncells, jnp.int32)
+    cc = jnp.clip((u * ncells).astype(jnp.int32), 0, ncells - 1)
+    cell_ids = (cc[:, 0] * grid.ncells[1] + cc[:, 1]) * grid.ncells[2] \
+        + cc[:, 2]
+
+    # bin locals only (values are local ids; fill = n)
+    in_grid_l = jnp.all((u[:n] >= 0.0) & (u[:n] < 1.0), axis=-1)
+    sentinel = grid.total_cells
+    ids = jnp.where(valid_local & in_grid_l, cell_ids[:n], sentinel)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    first = jnp.searchsorted(ids_sorted, ids_sorted, side="left")
+    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
+    ok = (rank < grid.cell_capacity) & (ids_sorted < sentinel)
+    table = jnp.full((grid.total_cells + 1, grid.cell_capacity), n,
+                     jnp.int32)
+    table = table.at[
+        jnp.where(ok, ids_sorted, sentinel),
+        jnp.clip(rank, 0, grid.cell_capacity - 1),
+    ].set(order.astype(jnp.int32), mode="drop")
+    table = table[:-1]
+    table_overflow = jnp.max(jnp.where(ids_sorted < sentinel, rank, -1)) \
+        + 1 > grid.cell_capacity
+
+    offsets = jnp.asarray(
+        [(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+         for k in (-1, 0, 1)], jnp.int32)
+    nbr_cells = cc[:, None, :] + offsets[None, :, :]  # [m, 27, 3]
+    cell_ok = jnp.all((nbr_cells >= 0) & (nbr_cells < ncells), axis=-1)
+    ncl = jnp.clip(nbr_cells, 0, ncells - 1)
+    nbr_flat = ((ncl[..., 0] * grid.ncells[1] + ncl[..., 1])
+                * grid.ncells[2] + ncl[..., 2])
+    cand = jnp.where(cell_ok[..., None], table[nbr_flat], n)
+    cand = cand.reshape(m, 27 * grid.cell_capacity)
+    cand_safe = jnp.minimum(cand, n - 1)
+    d = pos_ext[:, None, :] - pos_local[cand_safe]
+    dist2 = jnp.sum(d * d, axis=-1)
+    row = jnp.arange(m, dtype=jnp.int32)
+    mask = ((cand < n) & (dist2 < jnp.asarray(rlist, dtype) ** 2)
+            & (cand != row[:, None]) & valid_ext[:, None])
+    ext_idx, ext_mask, max_deg = _rows_topk(mask, dist2, k_ext,
+                                            gather_from=cand_safe)
+    max_deg = jnp.where(table_overflow, k_ext + 1, max_deg)
+    return ext_idx, ext_mask, max_deg
+
+
+def _rows_topk(mask, dist2, k, gather_from=None):
+    """Shared top-k slot selection: (idx, mask, max_count)."""
+    counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+    key = jnp.where(mask, dist2, jnp.inf)
+    k_eff = min(k, key.shape[1])
+    neg_key, sel = lax.top_k(-key, k_eff)
+    if k_eff < k:
+        neg_key = jnp.pad(neg_key, ((0, 0), (0, k - k_eff)),
+                          constant_values=-jnp.inf)
+        sel = jnp.pad(sel, ((0, 0), (0, k - k_eff)))
+    out_mask = jnp.isfinite(neg_key)
+    if gather_from is not None:
+        sel = jnp.take_along_axis(
+            gather_from, jnp.minimum(sel, gather_from.shape[1] - 1), axis=1)
+    idx = jnp.where(out_mask, sel, 0).astype(jnp.int32)
+    return idx, out_mask, jnp.max(counts)

@@ -83,8 +83,10 @@ class DomainSimulation:
         devices=None,
         auto_angular_caps: bool = True,
         use_brick_cells: bool | None = None,  # None = auto (n_cap >= 2048)
+        mirror_force: bool = True,  # scatter-free force backward
     ):
         self.potential = potential
+        self.mirror_force = bool(mirror_force)
         self._use_brick_cells = use_brick_cells
         self._brick_grid = None  # set in init_state
         self._present_species = None
@@ -249,7 +251,7 @@ class DomainSimulation:
     # ---------------- traced internals (per shard) ----------------
 
     def _forces_shard(self, pot, pos_l, box, species_l, valid_l, plan, idx,
-                      mask):
+                      mask, mirror_ext=None):
         """(pe_global, force_local, virial_global) in kcal/mol units."""
         species_ext = plan.ext_species(species_l)
 
@@ -261,7 +263,8 @@ class DomainSimulation:
             e_at = potmod.atomic_energies_ext(
                 pot, species_l, p_d, pos_ext, species_ext, idx, mask,
                 local_mask=valid_l,
-                present_species=self._present_species)
+                present_species=self._present_species,
+                mirror_ext=mirror_ext)
             return jnp.sum(e_at)
 
         # Differentiate the *shard-local* energy, not a psum of it. The
@@ -306,6 +309,29 @@ class DomainSimulation:
             idx, mask, max_deg = domain.build_neighbor_matrix_ext(
                 pos, valid, pos_ext0, plan.ext_valid(valid), self.rlist,
                 dspec.k_max)
+        mirror_ext = None
+        ext_overflow = jnp.zeros((), bool)
+        if self.mirror_force:
+            # ext-rowed transpose structure: turns the force backward's
+            # serialized scatter into pos_ext (the 375 ms/step pattern,
+            # docs/DESIGN.md) into a mirror gather — the sharded analog of
+            # the single-device mirror path (VERDICT r2 #3). Built per
+            # rebuild, frozen across the chunk like idx/mask.
+            from ..ops import nbr_grad
+            valid_ext0 = plan.ext_valid(valid)
+            if self._brick_grid is not None:
+                eidx, emask, ext_deg = domain.build_ext_rows_brick(
+                    dspec, self._brick_grid, pos, valid, pos_ext0,
+                    valid_ext0, box, self.rlist, dspec.k_max)
+            else:
+                eidx, emask, ext_deg = domain.build_ext_rows(
+                    pos, valid, pos_ext0, valid_ext0, self.rlist,
+                    dspec.k_max)
+            mirror, mvalid, mir_ok = nbr_grad.build_mirror_ext(
+                idx, mask, eidx, emask)
+            # regrowing k_max regrows the ext rows with it
+            ext_overflow = (ext_deg > dspec.k_max) | ~mir_ok
+            mirror_ext = (mirror, mvalid)
         ang_overflow = jnp.zeros((), bool)
         caps = pot.spec.angular_caps
         if caps is not None:
@@ -329,14 +355,15 @@ class DomainSimulation:
             k: lax.pmax(v.astype(jnp.int32), AXIS_NAMES)
             for k, v in dict(
                 mig=mig_overflow, halo=plan.overflow,
-                k_max=max_deg > dspec.k_max, angular=ang_overflow).items()
+                k_max=(max_deg > dspec.k_max) | ext_overflow,
+                angular=ang_overflow).items()
         }
 
         # recompute forces at rebuild: migration permuted atom rows across
         # shards, so the carried force/virial rows are stale (same values,
         # new layout)
         pe0, force, virial_in, = self._forces_shard(
-            pot, pos, box, species, valid, plan, idx, mask)
+            pot, pos, box, species, valid, plan, idx, mask, mirror_ext)
         pos_rebuild = pos
 
         npt = (self.integrator
@@ -395,7 +422,7 @@ class DomainSimulation:
             pos = jnp.where(valid[:, None], pos, pos_rebuild)
 
             pe, force, virial = self._forces_shard(
-                pot, pos, box, species, valid, plan, idx, mask)
+                pot, pos, box, species, valid, plan, idx, mask, mirror_ext)
             if lang is not None:
                 key, sub = jax.random.split(key)
                 sub = jax.random.fold_in(sub, shard_id)

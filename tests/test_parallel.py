@@ -45,14 +45,14 @@ def _single_device_reference(data, pot, dt, n_steps, integrator=None,
     return sim, st
 
 
-def _domain_sim(data, pot, mesh_shape, dt, integrator=None):
+def _domain_sim(data, pot, mesh_shape, dt, integrator=None, **kw):
     dsim = DomainSimulation(
         potential=pot,
         dspec=DomainSpec(mesh_shape=mesh_shape, n_cap=512,
                          halo_cap=(1024, 2048, 4096), mig_cap=128,
                          k_max=160),
         cutoff=5.1, skin=2.0, rebuild_every=2, dt=dt,
-        integrator=integrator, dtype=jnp.float64)
+        integrator=integrator, dtype=jnp.float64, **kw)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
                   origin=jnp.asarray(data.box_origin, jnp.float64))
     st = dsim.init_state(data.species, data.masses_by_type[data.species],
@@ -110,6 +110,61 @@ def test_sharded_md_trajectory_parity(mesh_shape):
     assert d.max() < 1e-9, d.max()
     np.testing.assert_allclose(dsim.gather(dst, "vel"),
                                sim.velocities_input_order(st), atol=1e-10)
+
+
+def test_mirror_force_backward_matches_gather():
+    """The scatter-free mirror backward (ops/nbr_grad.neighbor_diff_ext +
+    build_mirror_ext) must reproduce the plain gather-autodiff forces —
+    the sharded analog of the single-device mirror-vs-oracle parity."""
+    data = _water_system()
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    dsim_g, dst_g = _domain_sim(data, pot, (2, 2, 1), dt=0.2,
+                                mirror_force=False)
+    dsim_m, dst_m = _domain_sim(data, pot, (2, 2, 1), dt=0.2,
+                                mirror_force=True)
+    dst_g, _ = dsim_g.run(dst_g, 3)
+    dst_m, _ = dsim_m.run(dst_m, 3)
+    np.testing.assert_allclose(dsim_m.gather(dst_m, "force"),
+                               dsim_g.gather(dst_g, "force"), atol=1e-10)
+    np.testing.assert_allclose(dsim_m.gather(dst_m, "pos"),
+                               dsim_g.gather(dst_g, "pos"), atol=1e-10)
+    np.testing.assert_allclose(float(dst_m.pe), float(dst_g.pe),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(dst_m.virial),
+                               np.asarray(dst_g.virial), atol=1e-9)
+
+
+def test_ext_rows_brick_matches_brute():
+    """Brick-binned ext-rowed neighbor build == brute ext rows (as sets
+    per row, compared via sorted ids)."""
+    from lammps_ani_tpu.parallel import domain as dom
+
+    data = _water_system(rep=(2, 2, 2))
+    pos = jnp.asarray(data.positions, jnp.float64)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                  origin=jnp.asarray(data.box_origin, jnp.float64))
+    rlist = 7.1
+    # single-brick spec exercises the binning without a device mesh
+    dspec = DomainSpec(mesh_shape=(1, 1, 1), n_cap=pos.shape[0],
+                       halo_cap=(4096, 4096, 4096), mig_cap=64, k_max=192)
+    grid = dom.BrickGrid.for_box(np.asarray(data.box_h), (1, 1, 1),
+                                 rlist, 64)
+    assert grid is not None
+    valid = jnp.ones((pos.shape[0],), bool)
+    # fabricate an "ext" = locals plus a shifted copy of the first 50
+    ghosts = pos[:50] + jnp.asarray(data.box_h, jnp.float64)[0]
+    pos_ext = jnp.concatenate([pos, ghosts])
+    valid_ext = jnp.ones((pos_ext.shape[0],), bool)
+
+    bi, bm, bd = dom.build_ext_rows(pos, valid, pos_ext, valid_ext,
+                                    rlist, 192)
+    ci, cm, cd = dom.build_ext_rows_brick(
+        dspec, grid, pos, valid, pos_ext, valid_ext, box, rlist, 192)
+    assert int(bd) == int(cd)
+    sb = np.sort(np.where(np.asarray(bm), np.asarray(bi), -1), axis=1)
+    sc = np.sort(np.where(np.asarray(cm), np.asarray(ci), -1), axis=1)
+    np.testing.assert_array_equal(sb, sc)
 
 
 def test_sharded_nose_hoover_runs():
