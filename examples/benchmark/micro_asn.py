@@ -90,7 +90,6 @@ def main():
         return g, b
 
     grid_r, bins_r = make(spec.radial_cutoff + skin)
-    grid_a, bins_a = make(spec.angular_cutoff + skin)
 
     # sections from a cell-list degree measure (brute is O(n^2))
     from lammps_ani_tpu.ops import cell_list as clmod
@@ -118,35 +117,32 @@ def main():
     mk = lambda degs: tuple(
         (s, int(-(-(int(d) + 2) // 4) * 4)) for s, d in enumerate(degs)
         if d > 0)
-    sec_r, sec_a = mk(deg_r), mk(deg_a)
+    sec_r = mk(deg_r)
     kpad_r = apasn._round_lane(sum(k for _, k in sec_r) + 1)
-    kpad_a = apasn._round_lane(sum(k for _, k in sec_a) + 1)
-    print(f"sections r={sec_r} kpad={kpad_r} | a={sec_a} kpad={kpad_a}",
+    print(f"sections r={sec_r} kpad={kpad_r} (one grid, shared asn)",
           flush=True)
 
     phase = os.environ.get("ASN_PHASE", "all")
     if phase in ("all", "build"):
-        timeit("bins radial", lambda p: crmod.build_bins(
+        timeit("bins", lambda p: crmod.build_bins(
             grid_r, p, species, box).species_grid.astype(dtype), pos)
-        timeit("bins angular", lambda p: crmod.build_bins(
-            grid_a, p, species, box).species_grid.astype(dtype), pos)
-        timeit("asn build radial", lambda p: apasn.build_assignment(
+        timeit("asn build", lambda p: apasn.build_assignment(
             grid_r, bins_r, p, box, sec_r, kpad_r,
             spec.radial_cutoff + skin).idx.astype(dtype), pos)
-        timeit("asn build angular", lambda p: apasn.build_assignment(
-            grid_a, bins_a, p, box, sec_a, kpad_a,
-            spec.angular_cutoff + skin).idx.astype(dtype), pos)
 
     asn_r = jax.jit(lambda p: apasn.build_assignment(
         grid_r, bins_r, p, box, sec_r, kpad_r,
         spec.radial_cutoff + skin))(pos)
-    asn_a = jax.jit(lambda p: apasn.build_assignment(
-        grid_a, bins_a, p, box, sec_a, kpad_a,
-        spec.angular_cutoff + skin))(pos)
-    print(f"asn ovf r={float(asn_r.ovf)} a={float(asn_a.ovf)}", flush=True)
+    print(f"asn ovf r={float(asn_r.ovf)}", flush=True)
 
-    caps = tuple((16 if s == 0 else 12) if counts[s] else 0
+    caps_env = os.environ.get("ASN_CAPS")  # e.g. "20,12" = (H, O)
+    if caps_env:
+        ch, co = (int(x) for x in caps_env.split(","))
+    else:
+        ch, co = 16, 12
+    caps = tuple((ch if s == 0 else co) if counts[s] else 0
                  for s in range(7))
+    print(f"caps={caps}", flush=True)
 
     w_r = jax.random.normal(jax.random.PRNGKey(0), (spec.radial_length,),
                             dtype)
@@ -164,11 +160,11 @@ def main():
             pos, bins_r, asn_r)
     if phase in ("all", "angular"):
         timeit("angular fwd", lambda p, b, a: apasn.angular_aev_asn(
-            spec, grid_a, b, a, p, box, sec_a, caps)[0], pos, bins_a, asn_a)
+            spec, grid_r, b, a, p, box, sec_r, caps)[0], pos, bins_r, asn_r)
         timeit("angular vjp", lambda p, b, a: jax.grad(
             lambda q: jnp.sum(apasn.angular_aev_asn(
-                spec, grid_a, b, a, q, box, sec_a, caps)[0] @ w_a))(p),
-            pos, bins_a, asn_a)
+                spec, grid_r, b, a, q, box, sec_r, caps)[0] @ w_a))(p),
+            pos, bins_r, asn_r)
     if phase not in ("all", "full"):
         return
 
@@ -182,16 +178,10 @@ def main():
     pos_sorted = pos[jnp.asarray(order)]
     bins_rs = jax.jit(
         lambda p: crmod.build_bins(grid_r, p, sp_sorted, box))(pos_sorted)
-    bins_as = jax.jit(
-        lambda p: crmod.build_bins(grid_a, p, sp_sorted, box))(pos_sorted)
     asn_rs = jax.jit(lambda p: apasn.build_assignment(
         grid_r, bins_rs, p, box, sec_r, kpad_r,
         spec.radial_cutoff + skin))(pos_sorted)
-    asn_as = jax.jit(lambda p: apasn.build_assignment(
-        grid_a, bins_as, p, box, sec_a, kpad_a,
-        spec.angular_cutoff + skin))(pos_sorted)
-    asn_state = (grid_r, bins_rs, asn_rs, sec_r, grid_a, bins_as, asn_as,
-                 sec_a)
+    asn_state = (grid_r, bins_rs, asn_rs, sec_r)
 
     def efv(p, st):
         e, f, w, dfc = potmod.energy_forces_virial_asn(

@@ -133,9 +133,8 @@ class Simulation:
         self._k_max = nbr.k_max  # auto-tightened by _derive_angular_caps
         self._ang_cap = None  # angular sub-list capacity (auto-derived)
         self._roll_grid = None  # ops/cell_roll.RollGrid when active
-        self._ang_grid = None  # second (fine) grid of the pallas_asn mode
-        self._rad_sections = None  # pallas_asn static compact layouts
-        self._ang_sections = None
+        self._rad_sections = None  # pallas_asn static compact layout
+        # (one grid + one assignment serve both asn channels)
         # Cell-roll implementation modes:
         #   "xla"         — XLA roll radial channel + mirror angular
         #   "pallas"      — Pallas radial kernel (coarse grid, shell-1)
@@ -305,11 +304,6 @@ class Simulation:
             return spec.cutoff + self._skin_eff
         return spec.cutoff + self.nbr.ang_skin
 
-    @property
-    def _ang_side(self) -> float:
-        """Bin side of the pallas_asn angular grid (Rca + skin)."""
-        return self.potential.spec.aev.angular_cutoff + self._skin_eff
-
     def _setup_grids(self, pos, box):
         """(Re-)derive the cell/roll grids from the CURRENT box.
 
@@ -335,11 +329,9 @@ class Simulation:
                 cap = int(-(-int(cnt + 2) // 4) * 4)
                 return crmod.RollGrid(ncells=probe.ncells, cap=cap)
 
+            # ONE coarse grid (side >= Rcr + skin) serves both channels:
+            # its shell-1 window and keep radius cover the angular cutoff
             self._roll_grid = probe_grid(self._roll_side)
-            self._ang_grid = (probe_grid(self._ang_side)
-                              if self._roll_grid is not None else None)
-            if self._ang_grid is None:
-                self._roll_grid = None  # both or neither (mirror fallback)
             self._rlist_query = self.nbr.rlist
             self._chunk_cache = {}
             if self.nbr.use_cell_list:
@@ -347,6 +339,7 @@ class Simulation:
                 self._grid = clmod.CellGrid.for_box(
                     box_h, self._rlist_query * slack,
                     self.nbr.cell_capacity)
+                self._probe_cell_capacity(pos, box)
             return
         if self._want_cellroll:
             from ..ops import cell_roll as crmod
@@ -387,7 +380,46 @@ class Simulation:
             self._grid = clmod.CellGrid.for_box(
                 box_h, self._rlist_query * slack, self.nbr.cell_capacity)
             # None => box too small for a 3x3x3 grid; brute build instead.
+            self._probe_cell_capacity(pos, box)
         self._chunk_cache = {}
+
+    def _probe_cell_capacity(self, pos, box) -> bool:
+        """Grow self._grid's per-cell capacity to the MEASURED occupancy.
+
+        The config's cell_capacity is only a floor: a clipped cell table
+        silently drops neighbor candidates, which the builder folds into
+        the k_max overflow sentinel (cell_list.py:220-222) — growing k_max
+        can never clear it, so the degree measure in _derive_angular_caps
+        would size sections from a truncated list and loop on section
+        overflow forever. Probing the true max cell count (one sort) at
+        grid (re-)derivation and on k_max overflow keeps the table exact
+        the way the roll-grid cap probe does."""
+        if self._grid is None or not self.nbr.use_cell_list:
+            return False
+        from ..ops import cell_list as clmod
+        grid = self._grid
+
+        def occ(p, b):
+            pw = nbops.wrap_positions(p, b)
+            ghosts = nbops.build_ghosts(pw, b, self._rlist_query,
+                                        self.nbr.ghost_capacity,
+                                        self._shifts)
+            pos_ext = nbops.extended_positions(pw, b, ghosts)
+            ext_valid = jnp.concatenate(
+                [jnp.ones((p.shape[0],), bool), ghosts.mask])
+            coords = clmod._cell_coords(grid, b.to_fractional(pos_ext))
+            cell_ids = clmod._flat_cell(grid, coords)
+            _, max_cell = clmod.build_cell_table(grid, cell_ids, ext_valid)
+            return max_cell
+
+        cnt = int(jax.device_get(jax.jit(occ)(pos, box)))
+        cap = int(-(-int(cnt * 1.15 + 2) // 4) * 4)
+        if cap > grid.cell_capacity:
+            import dataclasses as _dc
+            self._grid = _dc.replace(grid, cell_capacity=cap)
+            self._chunk_cache = {}
+            return True
+        return False
 
     @staticmethod
     def _perp_lengths(box_h) -> np.ndarray:
@@ -408,11 +440,9 @@ class Simulation:
             from ..ops import cell_roll as crmod
             if self._roll_grid is None:
                 return crmod.RollGrid.for_box(h, self._roll_side, 4) is None
-            for g, side in ((self._roll_grid, self._roll_side),
-                            (self._ang_grid, self._ang_side)):
-                if np.any(perp / np.asarray(g.ncells) < side):
-                    return False
-            return True
+            return not np.any(
+                perp / np.asarray(self._roll_grid.ncells)
+                < self._roll_side)
         if self._want_cellroll:
             if self._roll_grid is None:
                 # roll disabled because the box was too small — revisit if
@@ -446,7 +476,7 @@ class Simulation:
 
     # ---------- internals (traced) ----------
 
-    def _derive_angular_caps(self, pos, box):
+    def _derive_angular_caps(self, pos, box, regrow=False):
         """Specialize the potential's AEV to this system's composition:
         measure per-species angular-neighbor degrees once, set static caps
         with 50% + skin headroom (species absent from the system get cap 0,
@@ -479,22 +509,31 @@ class Simulation:
                 # the measure nlist covers rlist in this mode)
                 sec["rad"] = per_species(
                     mask & (dist < spec.cutoff + self._skin_eff))
-                sec["ang"] = per_species(
-                    mask & (dist < spec.aev.angular_cutoff
-                            + self._skin_eff))
             return (per_species(in_ang), nlist.max_count,
                     jnp.max(jnp.sum(in_ang_skin, axis=1)), sec)
 
         degrees, max_deg, ang_deg, sec = jax.device_get(
             jax.jit(measure)(pos, box))
-        while int(max_deg) > self._k_max:
-            # the measuring matrix truncated: per-species degree sums are
-            # underestimates — regrow k_max and re-measure (a truncated
-            # measure would undersize sections and loop on overflow).
-            # Fresh jit each pass: _build_nlist reads _k_max at trace time.
+        for _ in range(16):
+            if int(max_deg) <= self._k_max:
+                break
+            # The measuring matrix truncated: per-species degree sums are
+            # underestimates — regrow and re-measure (a truncated measure
+            # would undersize sections/caps and loop on overflow). Two
+            # distinct causes fold into this signal: k_max rows too small
+            # (max_count is then the TRUE degree) and a clipped cell
+            # table (max_count is then the k_max+1 sentinel,
+            # cell_list.py:220-222) — handle both, since growing k_max
+            # alone can never clear the sentinel.
+            self._probe_cell_capacity(pos, box)
             self._k_max = int(-(-int(max_deg * 1.1 + 4) // 8) * 8)
+            # fresh jit each pass: _build_nlist reads _k_max at trace time
             degrees, max_deg, ang_deg, sec = jax.device_get(
                 jax.jit(measure)(pos, box))
+        else:
+            raise RuntimeError(
+                f"degree measure kept truncating (max_count {int(max_deg)}"
+                f" > k_max {self._k_max} after 16 regrows)")
         degrees = np.asarray(degrees)
         if asn_mode:
             def mk_sections(degs, margin):
@@ -504,18 +543,34 @@ class Simulation:
             # ~10% headroom: density fluctuations between re-measures grow
             # sections without a recompile only via overflow recovery
             self._rad_sections = mk_sections(sec["rad"], 1.1)
-            self._ang_sections = mk_sections(sec["ang"], 1.1)
         self._ang_cap = int(-(-int(ang_deg * 1.1 + 2) // 4) * 4)
         # tight neighbor capacity too (radial/displacement work is linear in
         # k_max); growth handled by the same overflow-recovery path
         self._k_max = int(-(-int(max_deg * 1.1 + 4) // 8) * 8)
-        # Tight caps: the angular pair count scales with cap^2, so margin is
-        # expensive; runtime growth is caught by the overflow channel and
-        # run() re-derives caps and recompiles (the reference grows buffers
-        # 1.5x on overflow instead, pair_ani.cpp:119-127).
+        # Angular caps carry measured margin: the t=0 degree measure sits
+        # one thermal fluctuation below the per-step max over
+        # n_atoms x steps, and every cap overflow costs a chunk recompile
+        # (~minutes on the tunnel). The pair-block cost scales with
+        # cap x cap, so blanket multiplicative margin is expensive
+        # (measured +29% angular kernel time for (20,12) vs (16,12) at
+        # the bench box); instead small-degree species — whose RELATIVE
+        # fluctuations are largest, and which caused round-2's regrow
+        # storm (O at cap 8) — get +4 absolute headroom. Runtime growth
+        # is targeted: the kernels report per-species deficits and run()
+        # bumps exactly the overflowing caps (monotonic, no re-measure).
+        import os as _os
+        margin = float(_os.environ.get("LAT_ANG_CAP_MARGIN", "1.0"))
+        old = spec.angular_caps
         caps = tuple(
-            0 if d == 0 else int(-(-int(d + 2) // 4) * 4) for d in degrees
+            0 if d == 0 else int(
+                -(-int(d * margin + 2 + (4 if d * margin <= 10 else 0))
+                  // 4) * 4)
+            for d in degrees
         )
+        if regrow and old is not None:
+            caps = tuple(
+                0 if c == 0 else max(c, o + 4)
+                for c, o in zip(caps, old))
         self.potential = potmod.ANIPotential(
             spec=_dc.replace(spec, angular_caps=caps),
             params=self.potential.params)
@@ -575,19 +630,15 @@ class Simulation:
             spec = self.potential.spec
             rbins = crmod.build_bins(self._roll_grid, pos, self.species,
                                      box)
-            abins = crmod.build_bins(self._ang_grid, pos, self.species,
-                                     box)
             kpad_r = apasn._round_lane(
                 sum(k for _, k in self._rad_sections) + 1)
-            kpad_a = apasn._round_lane(
-                sum(k for _, k in self._ang_sections) + 1)
+            # one assignment serves both channels: keep radius
+            # Rcr + skin covers Rca + skin, and the angular kernel
+            # re-compacts within-cutoff lanes per step anyway
             rasn = apasn.build_assignment(
                 self._roll_grid, rbins, pos, box, self._rad_sections,
                 kpad_r, spec.cutoff + self._skin_eff)
-            aasn = apasn.build_assignment(
-                self._ang_grid, abins, pos, box, self._ang_sections,
-                kpad_a, spec.aev.angular_cutoff + self._skin_eff)
-            return (rbins, rasn, abins, aasn)
+            return (rbins, rasn)
         return crmod.build_bins(self._roll_grid, pos, self.species, box)
 
     @property
@@ -608,9 +659,8 @@ class Simulation:
         (radial from ops/cell_roll, angular from the mirror sub-list), and
         the mirror path (the oracle)."""
         if self._pallas_asn and bins is not None:
-            rbins, rasn, abins, aasn = bins
-            asn_state = (self._roll_grid, rbins, rasn, self._rad_sections,
-                         self._ang_grid, abins, aasn, self._ang_sections)
+            rbins, rasn = bins
+            asn_state = (self._roll_grid, rbins, rasn, self._rad_sections)
             pe_h, f_h, w_h, deficit = potmod.energy_forces_virial_asn(
                 self.potential, self.species, pos, box, asn_state,
                 species_counts=self.species_counts)
@@ -772,10 +822,10 @@ class Simulation:
         # run() can grow the matching capacity instead of guessing.
         false = jnp.zeros((), bool)
         if self._pallas_asn:
-            rbins, rasn, abins, aasn = bins
+            rbins, rasn = bins
             roll_ovf = rbins.count_max > self._roll_grid.cap
-            roll_ang_ovf = abins.count_max > self._ang_grid.cap
-            sec_ovf = (rasn.ovf > 0) | (aasn.ovf > 0)
+            roll_ang_ovf = false
+            sec_ovf = rasn.ovf > 0
         else:
             roll_ovf = (false if bins is None
                         else bins.count_max > self._roll_grid.cap)
@@ -797,6 +847,10 @@ class Simulation:
             # pallas_asn: a frozen section overflowed at rebuild time
             "sections": sec_ovf,
         }
+        if self._pallas_asn:
+            # per-species worst deficit across the chunk's steps: run()
+            # grows exactly the overflowing caps, no degree re-measure
+            overflow["angular_deficit"] = jnp.max(deficits, axis=0)
         return state, traj, disp, overflow, n_done
 
     def _jitted_chunk(self, n_steps: int):
@@ -827,6 +881,7 @@ class Simulation:
             take = min(chunk, n_steps - done)
             fn = self._jitted_chunk(take)
             new_state, traj, disp, overflow, n_done = fn(state)
+            ang_deficit = overflow.pop("angular_deficit", None)
             ovf = {k: bool(v) for k, v in jax.device_get(overflow).items()}
             if any(ovf.values()):
                 # Grow exactly the capacities that overflowed and re-run the
@@ -847,22 +902,42 @@ class Simulation:
                         ncells=self._roll_grid.ncells,
                         cap=-(-int(self._roll_grid.cap * 3 // 2) // 4) * 4)
                     self._chunk_cache = {}
-                if ovf.get("roll_ang"):
-                    from ..ops import cell_roll as crmod
-                    self._ang_grid = crmod.RollGrid(
-                        ncells=self._ang_grid.ncells,
-                        cap=-(-int(self._ang_grid.cap * 3 // 2) // 4) * 4)
-                    self._chunk_cache = {}
                 if ovf.get("sections"):
                     # a frozen compact section overflowed at rebuild:
                     # re-measure the per-species degrees at this geometry
                     # (re-derives sections AND within-cutoff caps)
                     self._derive_angular_caps(state.pos, state.box)
-                if ovf["k_max"] or ovf["angular"] or ovf["mirror"]:
+                if (ovf["angular"] and ang_deficit is not None
+                        and not (ovf["k_max"] or ovf["mirror"])
+                        and self.potential.spec.angular_caps is not None):
+                    # targeted growth from the kernels' per-species
+                    # deficits: bump exactly the overflowing caps by
+                    # (deficit rounded up, >= 4) — one chunk recompile,
+                    # no degree re-measure, monotonic by construction
+                    import dataclasses as _dc
+                    dv = np.asarray(jax.device_get(ang_deficit))
+                    spec = self.potential.spec
+                    caps = tuple(
+                        c if (c == 0 or d <= 0)
+                        else c + max(4, -(-int(d) // 4) * 4)
+                        for c, d in zip(spec.angular_caps, dv))
+                    self.potential = potmod.ANIPotential(
+                        spec=_dc.replace(spec, angular_caps=caps),
+                        params=self.potential.params)
+                    self._chunk_cache = {}
+                elif ovf["k_max"] or ovf["angular"] or ovf["mirror"]:
+                    if ovf["k_max"]:
+                        # the k_max sentinel also covers a clipped cell
+                        # table (cell_list.py:220-222) — regrow that too
+                        self._probe_cell_capacity(state.pos, state.box)
                     if self._auto_angular_caps:
                         # re-measure degrees at current geometry; grows both
-                        # k_max and the per-species angular caps
-                        self._derive_angular_caps(state.pos, state.box)
+                        # k_max and the per-species angular caps (with a
+                        # monotonic bump when the caps themselves tripped,
+                        # so a transient spike can't re-derive the same
+                        # too-tight caps and loop)
+                        self._derive_angular_caps(state.pos, state.box,
+                                                  regrow=ovf["angular"])
                     elif ovf["k_max"]:
                         self._k_max = -(-int(self._k_max * 3 // 2) // 8) * 8
                         self._chunk_cache = {}

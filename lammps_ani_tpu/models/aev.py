@@ -191,7 +191,22 @@ def _angular_factor1(spec: AEVSpec, cos_theta: jax.Array) -> jax.Array:
     c = 0.95 * jnp.clip(cos_theta, -1.0, 1.0)
     s = jnp.sqrt(1.0 - c * c)  # safe: |c| <= 0.95
     base = 0.5 * (1.0 + c[..., None, None] * cz + s[..., None, None] * sz)
-    out = base ** zeta
+    zi = int(round(spec.zeta[0]))
+    if len(spec.zeta) == 1 and abs(spec.zeta[0] - zi) < 1e-9 and (
+            1 <= zi <= 128):
+        # integer zeta (ANI uses 32): square-and-multiply instead of the
+        # pow -> exp(log) lowering — 5 multiplies vs 2 transcendentals
+        # per pair-channel on the VPU
+        acc, sq, n = None, base, zi
+        while n:
+            if n & 1:
+                acc = sq if acc is None else acc * sq
+            n >>= 1
+            if n:
+                sq = sq * sq
+        out = acc
+    else:
+        out = base ** zeta
     return out.reshape(*cos_theta.shape, len(spec.zeta) * len(spec.shf_z))
 
 

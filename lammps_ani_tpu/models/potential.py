@@ -402,27 +402,32 @@ def atomic_energies_asn(
     species: jax.Array,
     pos: jax.Array,
     box: nbops.Box,
-    asn_state,  # (rgrid, rbins, rasn, rsect, agrid, abins, aasn, asect)
+    asn_state,  # (grid, bins, asn, sections) — shared by both channels
     species_counts: Optional[Sequence[int]] = None,
 ):
     """([n] energies, angular-cap deficit) via the assignment-compacted
     Pallas path (ops/aev_asn.py) — the round-3 production TPU path.
 
-    Two channel grids (coarse radial, fine angular), both with frozen
-    per-rebuild lane assignments; repulsion (ANI-1xnr) is evaluated from
-    the radial kernel's compact geometry, so reactive models run on the
-    fast path (cf. /root/reference/models/ani_models.py:40-53)."""
+    ONE coarse grid (side >= Rcr + skin) serves both channels: its keep
+    radius covers the angular cutoff, so the angular kernel re-compacts
+    within-Rca lanes from the radial assignment every step. Versus a
+    dedicated fine angular grid this cuts the dominant pair-block row
+    count by the grids' cap-padding ratio (~1.7x at the bench box) and
+    deletes the second bins + assignment build from every rebuild.
+    Repulsion (ANI-1xnr) is evaluated from the radial kernel's compact
+    geometry, so reactive models run on the fast path
+    (cf. /root/reference/models/ani_models.py:40-53)."""
     from ..ops import aev_asn as apasn
 
     spec = pot.spec
     assert spec.angular_caps is not None, (
         "assignment path needs composition-derived angular_caps")
-    rgrid, rbins, rasn, rsect, agrid, abins, aasn, asect = asn_state
+    grid, bins, asn, sect = asn_state
     radial, e_rep = apasn.radial_aev_asn(
-        spec.aev, rgrid, rbins, rasn, pos, box, rsect,
+        spec.aev, grid, bins, asn, pos, box, sect,
         repulsion=spec.repulsion)
     angular, deficit = apasn.angular_aev_asn(
-        spec.aev, agrid, abins, aasn, pos, box, asect, spec.angular_caps)
+        spec.aev, grid, bins, asn, pos, box, sect, spec.angular_caps)
     local_mask = species >= 0
     aev = jnp.concatenate([radial, angular], axis=1)
     aev = jnp.where(local_mask[:, None], aev, 0.0)

@@ -53,6 +53,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -718,7 +719,12 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
 
     big = jnp.asarray(2.0 * rca + 10.0, dtype)
     out = {}
-    deficit = jnp.full((), -(2.0 ** 20), dtype)
+    # per-SPECIES deficits on row 0 of an (8, 128) plane (col = species):
+    # run() grows exactly the overflowing caps (+deficit) with no degree
+    # re-measure, so a regrow costs one chunk recompile and nothing else
+    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 0)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, _LANE), 1)
+    deficit = jnp.full((8, _LANE), -(2.0 ** 20), dtype)
     # packed stage-2 rank per stage-1 lane (dead: LANE-1 -> zero pad lane
     # of any gather source); offsets follow the packed A-axis layout
     rank2 = jnp.full((r_rows, kpad), _LANE - 1, jnp.int32)
@@ -729,7 +735,9 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
             continue
         m = in_ang.astype(dtype) * masks[s]
         count = jnp.sum(m, axis=-1)
-        deficit = jnp.maximum(deficit, jnp.max(count) - a_s)
+        deficit = jnp.maximum(deficit, jnp.where(
+            (rows8 == 0) & (cols8 == s), jnp.max(count) - a_s,
+            -(2.0 ** 20)))
         rank = jax.lax.dot_general(
             m, tri, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=dtype)
@@ -798,10 +806,7 @@ def _compact_asn_kernel(px, py, pz, cx, cy, cz, idxr, *refs,
     def _():
         ovf[...] = jnp.full_like(ovf[...], -(2.0 ** 20))
 
-    rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    ovf[...] = jnp.maximum(ovf[...], jnp.where(
-        (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
+    ovf[...] = jnp.maximum(ovf[...], deficit)
 
 
 def _sect(ref3, off, a):
@@ -813,11 +818,18 @@ def _block_slots(refs, off, a):
     return vals
 
 
-def _chunk1(a1, a2):
-    """Arm-1 slots per grid instance: bounds the pair-lane chunk (and so
-    the kernel's stack -- Mosaic never reuses stack slots, so total
-    allocation scales with the chunk, not peak liveness)."""
-    c1 = max(1, 64 // a2)
+def _chunk1(a1, a2, cap):
+    """Arm-1 slots per grid instance: sets the pair-lane chunk c1*a2.
+
+    Every pair temp is [T, cap, c1*a2] and Mosaic pads the lane dim to
+    128, so any chunk <= 128 lanes occupies the SAME padded stack —
+    filling the vreg is free memory-wise and proportionally faster
+    (measured: the cap-row budget that kept c1*a2 at 24-48 lanes left
+    the VPU at ~20-40% lane utilization). Target the largest c1 with
+    c1*a2 <= 128 that divides a1."""
+    budget = int(_os.environ.get("ASN_CHUNK_LANES", "128"))
+    c1 = max(1, budget // a2)
+    c1 = min(c1, a1)
     while a1 % c1:
         c1 -= 1
     return c1
@@ -1029,7 +1041,7 @@ def _angular_compact_call(spec, grid, sections, kpad, caps, interpret,
         interpret=interpret,
     )(px, py, pz, cx, cy, cz, aidx_p)
     compact, rank2, ovf = outs[:6], outs[6], outs[7]
-    return compact, rank2, ovf[0, 0], a_offs, atot
+    return compact, rank2, ovf[0, :spec.num_species], a_offs, atot
 
 
 def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
@@ -1055,7 +1067,7 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
         if s1 not in a_offs or s2 not in a_offs:
             continue
         arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
-        c1 = _chunk1(a1, a2)
+        c1 = _chunk1(a1, a2, cap)
         arm1 = [_group_arm1(x, a1 // c1, c1) for x in arm1]
         kern = functools.partial(
             _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
@@ -1155,7 +1167,7 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
             inv_bins, jax.lax.dynamic_slice(
                 ga_flat, (0, ch0), (ga_flat.shape[0], asub)), 0.0),
             nc_pad, 0.0)
-        c1 = _chunk1(a1, a2)
+        c1 = _chunk1(a1, a2, cap)
         n_g = a1 // c1
         arm1 = [_group_arm1(x, n_g, c1) for x in arm1]
         kern = functools.partial(
@@ -1242,11 +1254,14 @@ _angular_asn_flat.defvjp(_angular_asn_fwd, _angular_asn_bwd)
 
 def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
                     interpret=None):
-    """([n, angular_length], deficit) over the frozen angular assignment.
+    """([n, angular_length], deficit) over a frozen assignment.
 
-    `sections` sized for (Rca + skin); `caps` are the per-step
-    within-cutoff capacities (ANISpec.angular_caps). deficit > 0 means a
-    cap truncated real neighbors THIS step."""
+    `sections`/`asn` may be any assignment whose keep radius covers
+    (Rca + skin) — in production the RADIAL assignment is shared (one
+    coarse grid, one build; stage-2 re-compacts within-Rca lanes per
+    step anyway). `caps` are the per-step within-cutoff capacities
+    (ANISpec.angular_caps). deficit > 0 means a cap truncated real
+    neighbors THIS step."""
     if interpret is None:
         interpret = _interpret_default()
     kpad = asn.idx.shape[-1]

@@ -549,6 +549,26 @@ def _angular_consts(spec, dtype):
     return eta, zeta, float(shf_a[0]), delta, steps, cos_m, sin_m
 
 
+def _zeta_pow(base, zeta):
+    """base ** zeta with integer zeta done by square-and-multiply.
+
+    ANI's zeta is 32: 5 multiplies instead of exp(zeta*log(base)) — two
+    VPU transcendentals per pair-lane per shf_z section. base > 0 always
+    (|0.95*cos| <= 0.95 bounds it away from 0), so both forms are exact;
+    the backward uses (zeta / base) * f1 either way."""
+    zi = int(round(zeta))
+    if abs(zeta - zi) > 1e-9 or not (1 <= zi <= 128):
+        return jnp.exp(zeta * jnp.log(base))
+    acc, sq, n = None, base, zi
+    while n:
+        if n & 1:
+            acc = sq if acc is None else acc * sq
+        n >>= 1
+        if n:
+            sq = sq * sq
+    return acc
+
+
 def _pair_blocks(spec, caps):
     """Static species-pair blocks [(s1, s2, A1, A2, ch0, same), ...] in
     torchani triu enumeration order (only blocks with both caps > 0)."""
@@ -689,7 +709,7 @@ def _angular_pair_terms(spec, consts, sl1, sl2, a1, a2, same, dtype):
     for m in range(len(spec.shf_z)):
         base = 0.5 * (1.0 + c95 * cos_m[m] + sv * sin_m[m])
         base_m.append(base)
-        f1_m.append(jnp.exp(zeta * jnp.log(base)))
+        f1_m.append(_zeta_pow(base, zeta))
     return dict(d1p=d1p, d2p=d2p, fc1p=fc1p, fc2p=fc2p,
                 u1=(u1x, u1y, u1z), u2=(u2x, u2y, u2z),
                 cosq=cosq, c95=c95, sv=sv, fc12=fc12, x2=x2,

@@ -203,7 +203,7 @@ def test_asn_angular_matches_oracle_f64():
     ref = np.asarray(_angular_reference(spec, species, pos, box))
     got, deficit = apasn.angular_aev_asn(
         spec, grid, bins, asn, pos, box, sections, caps, interpret=True)
-    assert float(deficit) <= 0, float(deficit)
+    assert float(jnp.max(deficit)) <= 0, np.asarray(deficit)
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
 
 
@@ -213,7 +213,8 @@ def test_asn_angular_deficit_detects_truncation():
     tight = tuple(1 if c else 0 for c in caps)
     _, deficit = apasn.angular_aev_asn(
         spec, grid, bins, asn, pos, box, sections, tight, interpret=True)
-    assert float(deficit) > 0
+    # per-species: exactly the truncated species report a deficit
+    assert float(jnp.max(deficit)) > 0
 
 
 def test_asn_angular_forces_and_box_cotangent():
@@ -240,9 +241,9 @@ def test_asn_angular_forces_and_box_cotangent():
 
 
 def test_simulation_asn_matches_mirror(monkeypatch):
-    """4 MD steps on the assignment path (two grids, frozen assignments,
-    no neighbor matrix) must reproduce the mirror-path engine trajectory
-    (f64, interpret mode on CPU)."""
+    """4 MD steps on the assignment path (ONE coarse grid + one frozen
+    assignment serving both channels, no neighbor matrix) must reproduce
+    the mirror-path engine trajectory (f64, interpret mode on CPU)."""
     from lammps_ani_tpu.models import zoo
 
     data = ldio.replicate(
@@ -313,6 +314,26 @@ def test_simulation_asn_repulsion_matches_mirror(monkeypatch):
     np.testing.assert_allclose(w_asn, w_ref, atol=1e-8)
 
 
+def test_asn_angular_on_shared_radial_assignment():
+    """Production layout: the angular kernel reads the RADIAL assignment
+    (keep radius Rcr + skin on the coarse grid) and must still match the
+    oracle — stage-2 re-compacts within-Rca lanes per step, so a wider
+    keep set only adds masked-out lanes."""
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system()
+    side = spec.radial_cutoff + SKIN
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, side, side)
+    sp = np.asarray(species)
+    caps = tuple((12 if s == 0 else 8) if (sp == s).sum() else 0
+                 for s in range(spec.num_species))
+    ref = np.asarray(_angular_reference(spec, species, pos, box))
+    got, deficit = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos, box, sections, caps, interpret=True)
+    assert float(jnp.max(deficit)) <= 0, np.asarray(deficit)
+    np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
+
+
 def test_asn_angular_staleness_tolerates_skin_motion():
     (spec, species, pos, box, grid, bins, sections, asn,
      caps) = _angular_setup_asn()
@@ -325,5 +346,5 @@ def test_asn_angular_staleness_tolerates_skin_motion():
     ref = np.asarray(_angular_reference(spec, species, pos2, box))
     got, deficit = apasn.angular_aev_asn(
         spec, grid, bins, asn, pos2, box, sections, caps, interpret=True)
-    assert float(deficit) <= 0
+    assert float(jnp.max(deficit)) <= 0
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)

@@ -213,3 +213,45 @@ def test_adaptive_rebuild_recovers_from_skin_violation():
     np.testing.assert_allclose(rows_a[-1]["pe"], rows_f[-1]["pe"],
                                rtol=1e-10)
     assert rows_a[-1]["step"] == 12
+
+
+def test_cell_capacity_autogrows_from_occupancy():
+    """A clipped cell table silently drops neighbor candidates and its
+    overflow folds into the k_max sentinel (cell_list.py:220-222), which
+    k_max growth can never clear — the degree measure then sizes angular
+    caps/sections from a truncated list and regrows forever. The engine
+    must probe ACTUAL cell occupancy and regrow cell_capacity instead:
+    an absurdly small configured capacity must still produce the exact
+    brute-builder trajectory."""
+    import lammps_ani_tpu as lat
+    from lammps_ani_tpu.io import lammps_data as ldio
+    from lammps_ani_tpu.models import zoo
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        2, 2, 2)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    def run(use_cell_list, cell_capacity=4):
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, k_max=64,
+                                   ghost_capacity=8192,
+                                   rebuild_every=2,
+                                   use_cell_list=use_cell_list,
+                                   cell_capacity=cell_capacity),
+            dt=0.2, dtype=jnp.float64)
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, temp=300.0, seed=5)
+        if use_cell_list:
+            assert sim._grid is not None
+            assert sim._grid.cell_capacity > cell_capacity
+        st, rows = sim.run(st, 4, thermo_every=2)
+        return sim.positions_input_order(st), float(st.pe)
+
+    p_cl, e_cl = run(True)
+    p_br, e_br = run(False)
+    np.testing.assert_allclose(e_cl, e_br, rtol=1e-12)
+    np.testing.assert_allclose(p_cl, p_br, atol=1e-12)
