@@ -141,8 +141,9 @@ class Simulation:
         #                   + mirror angular: the round-2 hybrid
         #   "pallas_full" — both channels from Pallas kernels over one fine
         #                   grid; no neighbor matrix / mirror tables at all
-        #   "pallas_asn"  — assignment-compacted kernels over two grids
-        #                   (ops/aev_asn.py): the round-3 production path;
+        #   "pallas_asn"  — assignment-compacted kernels over one shared
+        #                   grid (ops/aev_asn.py): the round-3 production
+        #                   path;
         #                   also the only fast path supporting repulsion
         # LAT_ROLL_IMPL overrides (tests force pallas modes on CPU, where
         # the kernels run in interpret mode).

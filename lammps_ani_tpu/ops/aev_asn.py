@@ -12,8 +12,8 @@ Mosaic's per-vreg dynamic gather.
     (cutoff + skin) into per-species compact sections, emitting
       idx [NC, cap, kpad]  — window lane of the k-th kept neighbor
       inv [NC, cap, wpad]  — compact lane of window lane w (dead: kpad-1)
-    The rank is one triangular-ones matmul (MXU); the idx extraction is a
-    one-hot sweep that runs once per rebuild interval, not per step.
+    The rank is one triangular-ones matmul (MXU); idx comes from a binary
+    search over the kept-lane cumsum (log2(wpad) per-vreg gathers).
 
   * Per step, kernels read candidate coordinates through `idx` with
     `jnp.take_along_axis`, which Mosaic lowers to `tpu.dynamic_gather` —
@@ -25,10 +25,11 @@ Mosaic's per-vreg dynamic gather.
     ~true-pair compact lanes.
 
   * The angular channel re-compacts per step WITHIN the exact cutoff from
-    the frozen (cutoff + skin) superset — a tiny in-kernel one-hot over
-    kpad lanes — so angular pair blocks stay as tight as the round-2
-    per-step compaction while the heavy window->compact move is frozen.
-    The per-step within-cutoff cap check (deficit) is retained.
+    the frozen (cutoff + skin) superset — cumsum-bisect + one dynamic
+    gather per quantity onto a packed per-species A axis — so angular
+    pair blocks stay as tight as the round-2 per-step compaction while
+    the heavy window->compact move is frozen. The per-step within-cutoff
+    cap check (deficit) is retained.
 
   * Backward: gamma on compact lanes; center force = lane reduction;
     neighbor ("wing") force decompacted to window lanes via `inv` gathers
@@ -260,30 +261,61 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
         (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
 
 
-def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, k_total, dtype):
-    """idx (compact lane -> window lane) from the inverse map: a
-    fori_loop one-hot sweep over compact lanes, chunked over the window.
+def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, sections, dtype):
+    """idx (compact lane -> window lane) from the inverse map by binary
+    search over per-section cumulative counts.
 
-    The loop body compiles once and its stack slots are reused across
-    iterations; a Python-unrolled sweep gave every select a fresh Mosaic
-    stack slot and blew the 16 MB scoped-vmem limit at bench sizes."""
+    Within a species section compact ranks are assigned in window-lane
+    order, so the kept-lane indicator's inclusive cumsum cum_s is
+    monotone and idx[r, off_s + t] is the unique (kept) w with
+    cum_s[r, w] = t + 1. cum_s is one triangular matmul per 128-lane
+    chunk (MXU, the inv kernel's rank pattern); the search is
+    log2(wpad) per-vreg dynamic gathers per section. This replaces a
+    fori_loop one-hot sweep whose VPU work was k_total * wpad selects
+    per row — the bulk of the measured 440 ms assignment build at the
+    101k-atom bench box (docs/DESIGN.md round-3 accounting)."""
     t_rows = inv_r.shape[0]
     r_rows = t_rows * cap
     invv = inv_r[...].reshape(r_rows, wpad)
+    invf = invv.astype(dtype)
+    offs, _ = _sec_offsets(sections)
+
+    lane_c = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 0)
+    col_c = jax.lax.broadcasted_iota(jnp.int32, (_LANE, _LANE), 1)
+    tri_inc = (lane_c <= col_c).astype(dtype)
+
+    n_bits = max(1, (wpad - 1).bit_length())
     k_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, kpad), 1)
-    w_val = jax.lax.broadcasted_iota(jnp.int32, (r_rows, _LANE), 1)
-
-    def body(k, idx_acc):
-        hit = jnp.full((r_rows, 1), -1, jnp.int32)
+    k_f = k_iota.astype(dtype)
+    idx = jnp.full((r_rows, kpad), wpad, jnp.int32)
+    for (s, k_s), off in zip(sections, offs):
+        carry = jnp.zeros((r_rows, 1), dtype)
+        cum_chunks = []
         for c in range(wpad // _LANE):
-            lo = c * _LANE
-            h = jnp.max(jnp.where(invv[:, lo:lo + _LANE] == k,
-                                  w_val + lo, -1), axis=-1)[:, None]
-            hit = jnp.maximum(hit, h)
-        return jnp.where((k_iota == k) & (hit >= 0), hit, idx_acc)
-
-    idx = jax.lax.fori_loop(
-        0, k_total, body, jnp.full((r_rows, kpad), wpad, jnp.int32))
+            iv_c = invv[:, c * _LANE:(c + 1) * _LANE]
+            ind = ((iv_c >= off) & (iv_c < off + k_s)).astype(dtype)
+            cum_chunks.append(jax.lax.dot_general(
+                ind, tri_inc, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=dtype) + carry)
+            carry = carry + jnp.sum(ind, axis=-1)[:, None]
+        cum = (jnp.concatenate(cum_chunks, axis=-1)
+               if len(cum_chunks) > 1 else cum_chunks[0])
+        # bisect_left for the smallest w with cum[w] >= t + 1 (that w is
+        # a kept lane: cum increments exactly at kept lanes)
+        target = k_f - float(off) + 1.0
+        lo = jnp.zeros((r_rows, kpad), jnp.int32)
+        hi = jnp.full((r_rows, kpad), wpad - 1, jnp.int32)
+        for _ in range(n_bits):
+            mid = (lo + hi) >> 1
+            pred = _gather_lanes(cum, mid, kpad // _LANE) >= target
+            hi = jnp.where(pred, mid, hi)
+            lo = jnp.where(pred, lo, mid + 1)
+        # verify the found lane carries exactly compact index k: rejects
+        # t beyond the row's kept count (search saturates at wpad - 1,
+        # a parked dead lane) and out-of-section k lanes
+        found = _gather_lanes(invf, hi, kpad // _LANE) == k_f
+        in_sec = (k_iota >= off) & (k_iota < off + k_s)
+        idx = jnp.where(in_sec & found, hi, idx)
     idx_o[...] = idx.reshape(t_rows, cap, kpad)
 
 
@@ -323,7 +355,7 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
     )(px, py, pz, cx, cy, cz, csp)
     idx = pl.pallas_call(
         functools.partial(_build_idx_kernel, cap=cap, kpad=kpad,
-                          wpad=wpad, k_total=k_total, dtype=dtype),
+                          wpad=wpad, sections=sections, dtype=dtype),
         grid=(nc_pad // _T_ROWS,),
         in_specs=[_k3_spec(cap, wpad)],
         out_specs=_k3_spec(cap, kpad),
@@ -703,11 +735,20 @@ def radial_aev_asn(aev_spec, grid, bins, asn, pos, box, sections,
 # ---------------------------------------------------------------------------
 
 
-def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
+def _stage2_compact(spec, sections, caps, ax, ay, az, dist, valid,
                     t_rows, cap, kpad, dtype):
     """Per-step within-cutoff compaction on frozen compact lanes.
 
-    Returns (slots dict s -> per-slot dict + 'sels', deficit)."""
+    Packed-A layout (per-species sections along one <=127-lane axis) is
+    produced directly: for each packed slot t of species s, the source
+    stage-1 lane is found by binary search on the inclusive in-cutoff
+    cumsum (= the exclusive MXU rank + the indicator — no extra matmul),
+    then every geometric quantity is ONE per-vreg dynamic gather. This
+    replaces the per-slot one-hot selects (a_s * kpad lane-ops per
+    quantity per row, the dominant VPU cost of the per-step compaction
+    kernel).
+
+    Returns (packed dict of [T, cap, atot] quantities, deficit, rank2)."""
     rca = spec.angular_cutoff
     r_rows = t_rows * cap
     masks = _sec_masks(sections, r_rows, kpad, dtype)
@@ -717,8 +758,6 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
     col_k = jax.lax.broadcasted_iota(jnp.int32, (kpad, kpad), 1)
     tri = (lane_k < col_k).astype(dtype)
 
-    big = jnp.asarray(2.0 * rca + 10.0, dtype)
-    out = {}
     # per-SPECIES deficits on row 0 of an (8, 128) plane (col = species):
     # run() grows exactly the overflowing caps (+deficit) with no degree
     # re-measure, so a regrow costs one chunk recompile and nothing else
@@ -728,11 +767,16 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
     # packed stage-2 rank per stage-1 lane (dead: LANE-1 -> zero pad lane
     # of any gather source); offsets follow the packed A-axis layout
     rank2 = jnp.full((r_rows, kpad), _LANE - 1, jnp.int32)
-    a_off = 0
+    a_offs, atot = _a_offsets(sections, caps)
+    a_iota = jax.lax.broadcasted_iota(jnp.int32, (r_rows, _LANE), 1)
+    a_f = a_iota.astype(dtype)
+    k_of_a = jnp.full((r_rows, _LANE), kpad, jnp.int32)
+    n_bits = max(1, (kpad - 1).bit_length())
     for s, _ in sections:
         a_s = caps[s]
         if a_s == 0:
             continue
+        a_off = a_offs[s][0]
         m = in_ang.astype(dtype) * masks[s]
         count = jnp.sum(m, axis=-1)
         deficit = jnp.maximum(deficit, jnp.where(
@@ -743,30 +787,48 @@ def _stage2_compact(spec, sections, caps, iv, ax, ay, az, dist, valid,
             preferred_element_type=dtype)
         rank2 = jnp.where((m > 0.5) & (rank < a_s),
                           rank.astype(jnp.int32) + a_off, rank2)
-        a_off += a_s
-        sels = [((rank == float(a)) * m) for a in range(a_s)]
+        cum = rank + m  # inclusive cumsum of the kept-lane indicator
+        # bisect_left: smallest stage-1 lane w with cum[w] >= t + 1 (cum
+        # steps by 1 exactly at kept lanes, so that w IS the t-th kept)
+        target = a_f - float(a_off) + 1.0
+        lo = jnp.zeros((r_rows, _LANE), jnp.int32)
+        hi = jnp.full((r_rows, _LANE), kpad - 1, jnp.int32)
+        for _ in range(n_bits):
+            mid = (lo + hi) >> 1
+            pred = _gather_lanes(cum, mid, 1) >= target
+            hi = jnp.where(pred, mid, hi)
+            lo = jnp.where(pred, lo, mid + 1)
+        # cum[hi] == target rejects slots beyond the row's kept count
+        # (search then saturates below target)
+        hit = _gather_lanes(cum, hi, 1) == target
+        in_sec = (a_iota >= a_off) & (a_iota < a_off + a_s)
+        k_of_a = jnp.where(in_sec & hit, hi, k_of_a)
 
-        def compact(x):
-            cols = [jnp.sum(sel * x, axis=-1)[:, None] for sel in sels]
-            return jnp.concatenate(cols, axis=-1).reshape(
-                t_rows, cap, a_s)
+    live = k_of_a < kpad
+    k_clip = jnp.clip(k_of_a, 0, kpad - 1)
 
-        cax, cay, caz = compact(ax), compact(ay), compact(az)
-        cd = jnp.sqrt(jnp.maximum(
-            cax * cax + cay * cay + caz * caz, 1e-12))
-        mask = cd > 1e-6
-        d_safe = jnp.where(mask, cd, big)
-        inv = 1.0 / d_safe
-        fc = jnp.where(mask & (cd <= rca),
-                       0.5 * jnp.cos(cd * (math.pi / rca)) + 0.5,
-                       jnp.zeros((), dtype))
-        dfc = jnp.where(
-            mask & (cd <= rca),
-            (-0.5 * math.pi / rca) * jnp.sin(cd * (math.pi / rca)),
-            jnp.zeros((), dtype))
-        out[s] = dict(ux=cax * inv, uy=cay * inv, uz=caz * inv,
-                      d=d_safe, fc=fc, dfc=dfc)
-    return out, deficit, rank2
+    def compact(x):
+        g = jnp.where(live, _gather_lanes(x, k_clip, 1),
+                      jnp.zeros((), dtype))
+        return g[:, :atot].reshape(t_rows, cap, atot)
+
+    big = jnp.asarray(2.0 * rca + 10.0, dtype)
+    cax, cay, caz = compact(ax), compact(ay), compact(az)
+    cd = jnp.sqrt(jnp.maximum(
+        cax * cax + cay * cay + caz * caz, 1e-12))
+    mask = cd > 1e-6
+    d_safe = jnp.where(mask, cd, big)
+    inv = 1.0 / d_safe
+    fc = jnp.where(mask & (cd <= rca),
+                   0.5 * jnp.cos(cd * (math.pi / rca)) + 0.5,
+                   jnp.zeros((), dtype))
+    dfc = jnp.where(
+        mask & (cd <= rca),
+        (-0.5 * math.pi / rca) * jnp.sin(cd * (math.pi / rca)),
+        jnp.zeros((), dtype))
+    packed = dict(ux=cax * inv, uy=cay * inv, uz=caz * inv,
+                  d=d_safe, fc=fc, dfc=dfc)
+    return packed, deficit, rank2
 
 def _a_offsets(sections, caps):
     """Packed per-species offsets along the stage-2 compact A axis."""
@@ -793,13 +855,11 @@ def _compact_asn_kernel(px, py, pz, cx, cy, cz, idxr, *refs,
     t_rows = px.shape[0]
     iv, ax, ay, az, dist, valid = _compact_geometry(
         px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
-    slots, deficit, rank2 = _stage2_compact(
-        spec, sections, caps, iv, ax, ay, az, dist, valid, t_rows, cap,
+    packed, deficit, rank2 = _stage2_compact(
+        spec, sections, caps, ax, ay, az, dist, valid, t_rows, cap,
         kpad, dtype)
-    order = [s for s, _ in sections if caps[s] > 0]
     for key in _COMPACT_KEYS:
-        out_refs[key][...] = jnp.concatenate(
-            [slots[s][key] for s in order], axis=-1)
+        out_refs[key][...] = packed[key]
     rank_o[...] = rank2.reshape(t_rows, cap, kpad)
 
     @pl.when(pl.program_id(0) == 0)
@@ -1020,6 +1080,9 @@ def _angular_compact_call(spec, grid, sections, kpad, caps, interpret,
     cap = grid.cap
     wpad = planes[4].shape[-1]
     a_offs, atot = _a_offsets(sections, caps)
+    # the packed A axis must fit one 128-lane vreg with a dead pad lane
+    # (stage-2 bisect layout fwd, rank2 dead slot LANE-1 bwd)
+    assert atot <= _LANE - 1, atot
     px, py, pz, cx, cy, cz = planes[:3] + planes[4:7]
     cmp_specs, cmp_shapes = _angular_specs(cap, kpad, wpad, atot,
                                            spec.angular_length, nc_pad,
