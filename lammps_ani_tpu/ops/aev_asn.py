@@ -1108,7 +1108,8 @@ def _angular_compact_call(spec, grid, sections, kpad, caps, interpret,
 
 
 def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
-                      inv_bins, csp_grid, cell, slot, aidx):
+                      inv_bins, csp_grid, cell, slot, aidx,
+                      want_compact=False):
     cap = grid.cap
     nc = grid.total
     dtype = pos.dtype
@@ -1157,7 +1158,10 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
             if zero_blk is None:
                 zero_blk = jnp.zeros((n, asub), dtype)
             cols.append(zero_blk)
-    return jnp.concatenate(cols, axis=1), deficit
+    out = jnp.concatenate(cols, axis=1), deficit
+    if want_compact:
+        return out, (compact, rank2)
+    return out
 
 
 def _arm1_spec(cap, c1):
@@ -1197,21 +1201,24 @@ def _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap, with_dfc=False):
     return arm1, arm2
 
 
-def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret, pos,
-                          h, inv_bins, csp_grid, cell, slot, aidx, ainv,
+def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
+                          inv_bins, cell, slot, aidx, ainv, compact, rank2,
                           ga_flat):
+    """Backward from the forward's saved compact/rank2 arrays.
+
+    The compact quantities and the stage-2 rank map are HBM outputs the
+    forward materializes anyway, so saving them as VJP residuals deletes
+    the entire re-compaction (position row gathers, window geometry
+    gathers, cumsum-bisect) from the backward — it needs no positions at
+    all."""
     cap = grid.cap
     nc = grid.total
-    dtype = pos.dtype
+    dtype = compact[0].dtype
     wpad = _round_lane(27 * cap)
-    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
-        grid, inv_bins, csp_grid, pos, h, wpad)
+    nc_pad = compact[0].shape[0]
     aidx_p = _pad_rows(aidx, nc_pad, wpad)
     ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
-    planes = (px, py, pz, pcs, cx, cy, cz, csp)
-    compact, rank2, _, a_offs, atot = _angular_compact_call(
-        spec, grid, sections, kpad, caps, interpret, planes, aidx_p,
-        nc_pad, dtype)
+    a_offs, atot = _a_offsets(sections, caps)
     assert atot <= _LANE - 1, atot
 
     asub = spec.angular_sublength
@@ -1298,17 +1305,18 @@ def _angular_asn_flat(spec, grid, sections, kpad, caps, interpret, pos, h,
 
 def _angular_asn_fwd(spec, grid, sections, kpad, caps, interpret, pos, h,
                      inv_bins, csp_grid, cell, slot, aidx, ainv):
-    out = _angular_asn_impl(spec, grid, sections, kpad, caps, interpret,
-                            pos, h, inv_bins, csp_grid, cell, slot, aidx)
-    return out, (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv)
+    out, (compact, rank2) = _angular_asn_impl(
+        spec, grid, sections, kpad, caps, interpret, pos, h, inv_bins,
+        csp_grid, cell, slot, aidx, want_compact=True)
+    return out, (inv_bins, cell, slot, aidx, ainv, compact, rank2)
 
 
 def _angular_asn_bwd(spec, grid, sections, kpad, caps, interpret, res, g):
     ga, _ = g
-    pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv = res
+    inv_bins, cell, slot, aidx, ainv, compact, rank2 = res
     dpos, dh = _angular_asn_bwd_impl(
-        spec, grid, sections, kpad, caps, interpret, pos, h, inv_bins,
-        csp_grid, cell, slot, aidx, ainv, ga)
+        spec, grid, sections, kpad, caps, interpret, inv_bins, cell, slot,
+        aidx, ainv, compact, rank2, ga)
     return dpos, dh, None, None, None, None, None, None
 
 
