@@ -3,11 +3,13 @@
 Usage: python analyze_umbrella.py [umbrella_samples.npz]
 Prints the phi PMF as (angle, kcal/mol) rows.
 """
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 from lammps_ani_tpu.analysis.wham import wham
 

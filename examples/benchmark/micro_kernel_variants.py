@@ -6,12 +6,14 @@ lane padding). Informs ops/aev_pallas.py optimization."""
 
 import functools
 import math
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 import jax
 import jax.numpy as jnp

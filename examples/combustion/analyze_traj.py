@@ -7,12 +7,14 @@ here analysis/fragments.py does the same with numpy/scipy-free union-find.
 Usage: python analyze_traj.py traj.dcd system.data [stride]
 """
 
+import os
 import sys
 from collections import Counter
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 from lammps_ani_tpu.analysis.fragments import fragments
 from lammps_ani_tpu.io.dump import read_dcd

@@ -9,11 +9,13 @@ Usage: python prepare_system.py [n_ch4] [out.data]
 Defaults: 160 CH4 + 320 O2 (1760 atoms) at ~0.25 g/cm^3.
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 from lammps_ani_tpu.io.lammps_data import LammpsData, write_lammps_data
 

@@ -11,11 +11,13 @@ Default 480 H2O + reactants (~1.9k atoms) — the 8-shard virtual-mesh
 smoke scale; the composition ratio matches at any size (scale n_water).
 """
 
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 from lammps_ani_tpu.io.lammps_data import LammpsData, write_lammps_data
 

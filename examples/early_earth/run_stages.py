@@ -15,7 +15,8 @@ import json
 import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 3)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))))
 
 _DEFAULTS = {
     "data": "early_earth.data",
