@@ -39,6 +39,21 @@ def main():
         n_rep, n_rep, n_rep)
     n_atoms = data.n_atoms
 
+    if os.environ.get("BENCH_PARITY", "0") == "1":
+        # opt-in on-hardware kernel parity gate (tools/tpu_parity.py):
+        # compiled Mosaic kernels vs the XLA oracle at ~800 atoms. Off by
+        # default only because its extra compiles (~minutes on the
+        # tunnel) would eat the driver's bench budget.
+        import subprocess
+        rc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "tpu_parity.py")]).returncode
+        if rc != 0:
+            print(json.dumps({"metric": "parity", "value": 0,
+                              "unit": "bool", "vs_baseline": 0}))
+            sys.exit(1)
+
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
     skin = float(os.environ.get("BENCH_SKIN", "2.0"))
     ang_skin = float(os.environ.get("BENCH_ANG_SKIN", "2.0"))
