@@ -120,16 +120,31 @@ def select_models(params, num_models: int | None):
     return jax.tree.map(lambda x: x[:num_models], params)
 
 
+def _nn_precision():
+    """MXU precision for the NN matmuls only (geometry stays pinned).
+
+    LAT_NN_PRECISION=high runs the MLP dots as bf16_3x passes — ~f32
+    accuracy at a fraction of the HIGHEST (f32) pass count — without
+    touching the package-wide `highest` default that protects
+    coordinate-scale products (`frac @ h`). Unset = inherit the global
+    default (LAT_MATMUL_PRECISION, `highest` unless overridden)."""
+    import os as _os
+
+    return _os.environ.get("LAT_NN_PRECISION") or None
+
+
 def _mlp_stack(layers, x, celu_alpha: float):
     """x: [m, n, aev] -> [m, n] atomic energies (one species net, m models)."""
     dtype = x.dtype
+    prec = _nn_precision()
     h = x
     n_layers = len(layers)
     for li, layer in enumerate(layers):
         w = layer["w"].astype(dtype)
         b = layer["b"].astype(dtype)
         h = (
-            jnp.einsum("mni,mio->mno", h, w, preferred_element_type=dtype)
+            jnp.einsum("mni,mio->mno", h, w, preferred_element_type=dtype,
+                       precision=prec)
             + b[:, None, :]
         )
         if li < n_layers - 1:
