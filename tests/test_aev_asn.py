@@ -348,3 +348,65 @@ def test_asn_angular_staleness_tolerates_skin_motion():
         spec, grid, bins, asn, pos2, box, sections, caps, interpret=True)
     assert float(jnp.max(deficit)) <= 0
     np.testing.assert_allclose(np.asarray(got), ref, atol=1e-10, rtol=1e-8)
+
+
+def test_simulation_asn_regrows_undersized_capacities(monkeypatch):
+    """run() must survive under-sized frozen sections AND under-sized
+    angular caps — the sharded-robustness contract (VERDICT r3 #4) on the
+    single-device asn engine: section overflow re-derives at current
+    geometry, per-step cap deficits grow exactly the overflowing caps —
+    and the recovered trajectory must match an adequately-sized run.
+    Reference never-die analog: pair_ani.cpp:104-151."""
+    import dataclasses as dc
+
+    from lammps_ani_tpu.models import potential as potmod
+    from lammps_ani_tpu.models import zoo
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        3, 3, 3)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    monkeypatch.setenv("LAT_ROLL_IMPL", "pallas_asn")
+
+    def make():
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160, ghost_capacity=8192,
+                                   rebuild_every=2),
+            dt=0.2, dtype=jnp.float64, cellroll=True)
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, temp=300.0, seed=11)
+        assert sim._pallas_asn
+        return sim, st
+
+    sim_ref, st_ref = make()
+    st_ref, _ = sim_ref.run(st_ref, 4)
+    p_ref = sim_ref.positions_input_order(st_ref)
+
+    # scenario 1: angular caps alone too tight -> per-step deficit ->
+    # targeted per-species bump (no re-measure)
+    sim, st = make()
+    good_caps = sim.potential.spec.angular_caps
+    tiny = tuple(4 if c else 0 for c in good_caps)
+    sim.potential = potmod.ANIPotential(
+        spec=dc.replace(sim.potential.spec, angular_caps=tiny),
+        params=sim.potential.params)
+    sim._chunk_cache = {}
+    st, _ = sim.run(st, 4)
+    grown = sim.potential.spec.angular_caps
+    assert all(g > t for g, t in zip(grown, tiny) if t)
+    np.testing.assert_allclose(sim.positions_input_order(st), p_ref,
+                               atol=1e-10)
+
+    # scenario 2: frozen radial sections under-sized -> rebuild-time
+    # section overflow -> re-derive sections+caps at current geometry
+    sim, st = make()
+    sim._rad_sections = tuple((s, 8) for s, _ in sim._rad_sections)
+    sim._chunk_cache = {}
+    st, _ = sim.run(st, 4)
+    assert all(k > 8 for _, k in sim._rad_sections)
+    np.testing.assert_allclose(sim.positions_input_order(st), p_ref,
+                               atol=1e-10)
