@@ -60,29 +60,46 @@ def main():
     atom_chunk = int(os.environ.get("BENCH_ATOM_CHUNK", "2048"))
     pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
                     atom_chunk=min(atom_chunk, 30 * n_rep ** 3))
-    sim = lat.Simulation(
-        potential=pot, species=data.species,
-        masses=data.masses_by_type[data.species],
-        nbr=lat.NeighborConfig(cutoff=5.1, skin=skin, ang_skin=ang_skin,
-                               k_max=128,
-                               ghost_capacity=max(4096, n_atoms // 2),
-                               rebuild_every=steps_per_chunk,
-                               use_cell_list=n_rep >= 3, cell_capacity=32),
-        dt=dt, dtype=jnp.float32, cellroll=cellroll)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
                   origin=jnp.asarray(data.box_origin, jnp.float32))
-    state = sim.init_state(data.positions, box, temp=300.0, seed=1,
-                           compute_virial=True)
 
-    # warmup / compile through the production path: run() owns overflow
-    # regrow, adaptive rebuild, and grid revalidation — the published
-    # number measures exactly what a production run executes (VERDICT r2
-    # weak #6). Two warmup chunks by default: capacity regrows are
-    # monotonic, so absorbing any early-trajectory overflow recompile
-    # here keeps it out of the timed region.
-    warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "2"))
-    state, _ = sim.run(state, steps_per_chunk * warm_chunks)
-    jax.block_until_ready(state.pos)
+    def build_and_warm():
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=skin,
+                                   ang_skin=ang_skin, k_max=128,
+                                   ghost_capacity=max(4096, n_atoms // 2),
+                                   rebuild_every=steps_per_chunk,
+                                   use_cell_list=n_rep >= 3,
+                                   cell_capacity=32),
+            dt=dt, dtype=jnp.float32, cellroll=cellroll)
+        state = sim.init_state(data.positions, box, temp=300.0, seed=1,
+                               compute_virial=True)
+        # warmup / compile through the production path: run() owns
+        # overflow regrow, adaptive rebuild, and grid revalidation — the
+        # published number measures exactly what a production run
+        # executes (VERDICT r2 weak #6). Two warmup chunks by default:
+        # capacity regrows are monotonic, so absorbing any
+        # early-trajectory overflow recompile here keeps it out of the
+        # timed region.
+        warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "2"))
+        state, _ = sim.run(state, steps_per_chunk * warm_chunks)
+        jax.block_until_ready(state.pos)
+        return sim, state
+
+    try:
+        sim, state = build_and_warm()
+    except Exception as exc:  # noqa: BLE001
+        # engine-mode safety net: a Mosaic-only failure in the default
+        # fast path must degrade the benchmark, not zero it — fall back
+        # to the hybrid engine and report which mode actually ran
+        if os.environ.get("LAT_ROLL_IMPL"):
+            raise
+        print(f"default engine failed ({type(exc).__name__}: {exc}); "
+              "falling back to LAT_ROLL_IMPL=pallas", file=sys.stderr)
+        os.environ["LAT_ROLL_IMPL"] = "pallas"
+        sim, state = build_and_warm()
 
     total_steps = steps_per_chunk * n_chunks
     t0 = time.perf_counter()
@@ -107,6 +124,7 @@ def main():
             "steps_per_s": round(steps_per_s, 3),
             "matom_steps_per_s": round(matom_steps, 4),
             "dt_fs": dt,
+            "engine": sim._roll_impl,
             "device": str(jax.devices()[0]),
             "baseline": "A100 100k water 1.495 ns/day (BASELINE.md)",
         },
