@@ -83,7 +83,7 @@ def main():
         # capacity regrows are monotonic, so absorbing any
         # early-trajectory overflow recompile here keeps it out of the
         # timed region.
-        warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "2"))
+        warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "4"))
         state, _ = sim.run(state, steps_per_chunk * warm_chunks)
         jax.block_until_ready(state.pos)
         return sim, state

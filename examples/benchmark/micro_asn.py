@@ -181,15 +181,16 @@ def main():
     asn_rs = jax.jit(lambda p: apasn.build_assignment(
         grid_r, bins_rs, p, box, sec_r, kpad_r,
         spec.radial_cutoff + skin))(pos_sorted)
-    asn_state = (grid_r, bins_rs, asn_rs, sec_r)
-
-    def efv(p, st):
+    def efv(p, bins, asn):
+        # grid_r/sec_r are static metadata (hashable, tiny) — close over
+        # them; only the array state is traced
         e, f, w, dfc = potmod.energy_forces_virial_asn(
-            pot, sp_sorted, p, box, st, species_counts=counts)
+            pot, sp_sorted, p, box, (grid_r, bins, asn, sec_r),
+            species_counts=counts)
         return e, f, w
 
-    timeit("energy_forces_virial_asn", efv, pos_sorted, asn_state)
-    e, f, w = jax.jit(efv)(pos_sorted, asn_state)
+    timeit("energy_forces_virial_asn", efv, pos_sorted, bins_rs, asn_rs)
+    e, f, w = jax.jit(efv)(pos_sorted, bins_rs, asn_rs)
     print("pe:", float(e), "fmax:", float(jnp.max(jnp.abs(f))), flush=True)
 
 

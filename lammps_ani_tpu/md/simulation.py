@@ -822,14 +822,17 @@ class Simulation:
         # state's flags are stale — they describe the previous rebuild), so
         # run() can grow the matching capacity instead of guessing.
         false = jnp.zeros((), bool)
+        zero = jnp.zeros((), jnp.int32)
         if self._pallas_asn:
             rbins, rasn = bins
             roll_ovf = rbins.count_max > self._roll_grid.cap
+            roll_count = rbins.count_max
             roll_ang_ovf = false
             sec_ovf = rasn.ovf > 0
         else:
             roll_ovf = (false if bins is None
                         else bins.count_max > self._roll_grid.cap)
+            roll_count = zero if bins is None else bins.count_max
             roll_ang_ovf = false
             sec_ovf = false
         overflow = {
@@ -852,6 +855,10 @@ class Simulation:
             # per-species worst deficit across the chunk's steps: run()
             # grows exactly the overflowing caps, no degree re-measure
             overflow["angular_deficit"] = jnp.max(deficits, axis=0)
+        # measured bin occupancy: run() regrows the roll cap to exactly
+        # this (rounded) instead of 1.5x — window width (27*cap lanes)
+        # sets every asn kernel's per-step gather cost
+        overflow["roll_count"] = roll_count
         return state, traj, disp, overflow, n_done
 
     def _jitted_chunk(self, n_steps: int):
@@ -883,6 +890,7 @@ class Simulation:
             fn = self._jitted_chunk(take)
             new_state, traj, disp, overflow, n_done = fn(state)
             ang_deficit = overflow.pop("angular_deficit", None)
+            roll_count = overflow.pop("roll_count", None)
             ovf = {k: bool(v) for k, v in jax.device_get(overflow).items()}
             if any(ovf.values()):
                 # Grow exactly the capacities that overflowed and re-run the
@@ -899,9 +907,17 @@ class Simulation:
                     self._chunk_cache = {}
                 if ovf["roll"]:
                     from ..ops import cell_roll as crmod
+                    # targeted: regrow to the measured occupancy (+2
+                    # slack, round to 4) rather than 1.5x — every extra
+                    # cap slot adds 27 window lanes to every per-step
+                    # asn kernel, so overshoot is pure step-time loss
+                    old_cap = self._roll_grid.cap
+                    want = (int(jax.device_get(roll_count)) + 2
+                            if roll_count is not None
+                            else old_cap * 3 // 2)
+                    new_cap = max(-(-want // 4) * 4, old_cap + 4)
                     self._roll_grid = crmod.RollGrid(
-                        ncells=self._roll_grid.ncells,
-                        cap=-(-int(self._roll_grid.cap * 3 // 2) // 4) * 4)
+                        ncells=self._roll_grid.ncells, cap=new_cap)
                     self._chunk_cache = {}
                 if ovf.get("sections"):
                     # a frozen compact section overflowed at rebuild:

@@ -142,8 +142,13 @@ def _gather_window(plane, iv, cap, kpad):
 
 
 def _prep_asn(grid, inv_bins, csp_grid, pos, h, wpad):
-    """Kernel inputs: center planes [NCp, cap] + lane-padded candidate
-    planes [NCp, wpad] (+ center species plane). shell=1 window."""
+    """Kernel inputs: center planes [NCp, 1, cap] + lane-padded candidate
+    planes [NCp, 1, wpad] (+ center species plane). shell=1 window.
+
+    The singleton middle axis lets blocks carry FEWER than 8 cell rows
+    (Mosaic requires the last two block dims be 8/128-divisible OR equal
+    to the array dims; (1, X) satisfies the latter for any leading t) —
+    capacity regrows shrink t via _t_cells instead of OOMing VMEM."""
     nx, ny, nz = grid.ncells
     cap = grid.cap
     nc = grid.total
@@ -158,24 +163,39 @@ def _prep_asn(grid, inv_bins, csp_grid, pos, h, wpad):
     def lanes(x, park):
         return jnp.pad(x, ((0, 0), (0, wpad - w)), constant_values=park)
 
-    px = _pad_rows(pos4g[..., 0], nc_pad, 1e6)
-    py = _pad_rows(pos4g[..., 1], nc_pad, 1e6)
-    pz = _pad_rows(pos4g[..., 2], nc_pad, 1e6)
-    pcs = _pad_rows(csp_grid, nc_pad, -1)
-    cx = _pad_rows(lanes(cp[..., 0], -1e6), nc_pad, -1e6)
-    cy = _pad_rows(lanes(cp[..., 1], -1e6), nc_pad, -1e6)
-    cz = _pad_rows(lanes(cp[..., 2], -1e6), nc_pad, -1e6)
-    csp = _pad_rows(lanes(cs, -1), nc_pad, -1)
+    def plane(x):
+        return x[:, None, :]
+
+    px = plane(_pad_rows(pos4g[..., 0], nc_pad, 1e6))
+    py = plane(_pad_rows(pos4g[..., 1], nc_pad, 1e6))
+    pz = plane(_pad_rows(pos4g[..., 2], nc_pad, 1e6))
+    pcs = plane(_pad_rows(csp_grid, nc_pad, -1))
+    cx = plane(_pad_rows(lanes(cp[..., 0], -1e6), nc_pad, -1e6))
+    cy = plane(_pad_rows(lanes(cp[..., 1], -1e6), nc_pad, -1e6))
+    cz = plane(_pad_rows(lanes(cp[..., 2], -1e6), nc_pad, -1e6))
+    csp = plane(_pad_rows(lanes(cs, -1), nc_pad, -1))
     return nc_pad, px, py, pz, pcs, cx, cy, cz, csp
 
 
-def _win_spec(wpad):
-    return pl.BlockSpec((_T_ROWS, wpad), lambda i: (i, 0),
+def _ldp(ref):
+    """Load a [t, 1, X] plane block as [t, X] (free leading merge)."""
+    v = ref[...]
+    return v.reshape(v.shape[0], v.shape[-1])
+
+
+def _win_spec(wpad, t=_T_ROWS):
+    return pl.BlockSpec((t, 1, wpad), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _out1_spec(a, b):
-    return pl.BlockSpec((_T_ROWS, a, b), lambda i: (i, 0, 0),
+def _row_spec(width, rows):
+    """2-D [rows, width] blocks (rows must be a multiple of 8)."""
+    return pl.BlockSpec((rows, width), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _out1_spec(a, b, t=_T_ROWS):
+    return pl.BlockSpec((t, a, b), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -184,13 +204,13 @@ def _acc1_spec():
                         memory_space=pltpu.VMEM)
 
 
-def _cen_spec(cap):
-    return pl.BlockSpec((_T_ROWS, cap), lambda i: (i, 0),
+def _cen_spec(cap, t=_T_ROWS):
+    return pl.BlockSpec((t, 1, cap), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
-def _k3_spec(a, b):
-    return pl.BlockSpec((_T_ROWS, a, b), lambda i: (i, 0, 0),
+def _k3_spec(a, b, t=_T_ROWS):
+    return pl.BlockSpec((t, a, b), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -221,20 +241,21 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
 
     sub3 = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, _LANE), 1)
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (t_rows, cap, _LANE), 2)
-    pxv, pyv, pzv = px[...], py[...], pz[...]
+    pxv, pyv, pzv = _ldp(px), _ldp(py), _ldp(pz)
+    cxv, cyv, czv, csv = _ldp(cx), _ldp(cy), _ldp(cz), _ldp(cs)
 
     carries = {s: jnp.zeros((r_rows, 1), dtype) for s, _ in sections}
     deficit = jnp.full((), -(2.0 ** 20), dtype)
     inv_chunks = []
     for c in range(wpad // _LANE):
         lo = c * _LANE
-        dx = (pxv[:, :, None] - b3(cx[...], lo)).reshape(r_rows, _LANE)
-        dy = (pyv[:, :, None] - b3(cy[...], lo)).reshape(r_rows, _LANE)
-        dz = (pzv[:, :, None] - b3(cz[...], lo)).reshape(r_rows, _LANE)
+        dx = (pxv[:, :, None] - b3(cxv, lo)).reshape(r_rows, _LANE)
+        dy = (pyv[:, :, None] - b3(cyv, lo)).reshape(r_rows, _LANE)
+        dz = (pzv[:, :, None] - b3(czv, lo)).reshape(r_rows, _LANE)
         d2 = dx * dx + dy * dy + dz * dz
         is_self = ((lane3 + lo) == 13 * cap + sub3).reshape(r_rows, _LANE)
         in_keep = (d2 <= keep_r * keep_r) & ~is_self
-        csb = b3(cs[...], lo).reshape(r_rows, _LANE)
+        csb = b3(csv, lo).reshape(r_rows, _LANE)
         inv_c = jnp.full((r_rows, _LANE), float(kpad - 1), dtype)
         for (s, k_s), off in zip(sections, offs):
             m = (in_keep & (csb == s)).astype(dtype)
@@ -261,7 +282,7 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
         (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
 
 
-def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, sections, dtype):
+def _build_idx_kernel(inv_r, idx_o, *, kpad, wpad, sections, dtype):
     """idx (compact lane -> window lane) from the inverse map by binary
     search over per-section cumulative counts.
 
@@ -273,10 +294,15 @@ def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, sections, dtype):
     log2(wpad) per-vreg dynamic gathers per section. This replaces a
     fori_loop one-hot sweep whose VPU work was k_total * wpad selects
     per row — the bulk of the measured 440 ms assignment build at the
-    101k-atom bench box (docs/DESIGN.md round-3 accounting)."""
-    t_rows = inv_r.shape[0]
-    r_rows = t_rows * cap
-    invv = inv_r[...].reshape(r_rows, wpad)
+    101k-atom bench box (docs/DESIGN.md round-3 accounting).
+
+    The computation is purely row-local, so the grid runs over flat
+    [rows, wpad] blocks sized by _idx_row_block — capacity regrows
+    (larger cap -> wider windows) shrink the block instead of blowing
+    the 16 MB scoped-VMEM limit (Mosaic's stack allocator does not
+    reuse slots within a kernel body)."""
+    r_rows = inv_r.shape[0]
+    invv = inv_r[...]
     invf = invv.astype(dtype)
     offs, _ = _sec_offsets(sections)
 
@@ -316,7 +342,30 @@ def _build_idx_kernel(inv_r, idx_o, *, cap, kpad, wpad, sections, dtype):
         found = _gather_lanes(invf, hi, kpad // _LANE) == k_f
         in_sec = (k_iota >= off) & (k_iota < off + k_s)
         idx = jnp.where(in_sec & found, hi, idx)
-    idx_o[...] = idx.reshape(t_rows, cap, kpad)
+    idx_o[...] = idx
+
+
+def _idx_row_block(wpad, kpad, n_sections):
+    """Rows per idx-build block: bound the kernel stack ~<= 10 MB.
+
+    Empirical per-row stack (f32 bytes): the wpad-wide arrays (inv, invf,
+    one live cum per section) plus the kpad-wide bisect temps and
+    per-iteration gather results per section. Calibrated against a
+    measured 22.2 MB stack at 384 rows, wpad 1408, kpad 256, 2 sections
+    (57.7 KB/row; formula: 53 KB/row)."""
+    n_bits = max(1, (wpad - 1).bit_length())
+    bpr = 4 * wpad * (2 + n_sections) + 4 * kpad * n_sections * (n_bits + 4)
+    return max(8, min(256, int((10 * 2 ** 20) // bpr) // 8 * 8))
+
+
+def _t_cells(cap, wpad):
+    """Cell rows per block for the window-structured build/step kernels:
+    keep rows*wpad stack temps bounded as capacity regrows widen the
+    window (cap 32 -> the historical 8-cell block; cap 48 -> 4)."""
+    t = 8
+    while t > 1 and t * cap * wpad * 48 > 13 * 2 ** 20 + 2 ** 19:
+        t //= 2
+    return t
 
 
 def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
@@ -340,11 +389,12 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
     kern = functools.partial(
         _build_inv_kernel, cap=cap, sections=sections, kpad=kpad,
         wpad=wpad, keep_r=keep_radius, dtype=dtype)
+    t_b = _t_cells(cap, wpad)
     inv, ovf = pl.pallas_call(
         kern,
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 4,
-        out_specs=[_k3_spec(cap, wpad), _acc1_spec()],
+        grid=(nc_pad // t_b,),
+        in_specs=[_cen_spec(cap, t_b)] * 3 + [_win_spec(wpad, t_b)] * 4,
+        out_specs=[_k3_spec(cap, wpad, t_b), _acc1_spec()],
         out_shape=[
             jax.ShapeDtypeStruct((nc_pad, cap, wpad), jnp.int32),
             jax.ShapeDtypeStruct((8, 128), dtype),
@@ -353,17 +403,27 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(px, py, pz, cx, cy, cz, csp)
+    # idx build is row-local: run it over flat row blocks so its stack
+    # stays bounded at any (cap, kpad)
+    rb = _idx_row_block(wpad, kpad, len(sections))
+    r_tot = nc_pad * cap
+    r_pad = -(-r_tot // rb) * rb
+    inv_flat = inv.reshape(r_tot, wpad)
+    if r_pad != r_tot:
+        inv_flat = jnp.pad(inv_flat, ((0, r_pad - r_tot), (0, 0)),
+                           constant_values=kpad - 1)
     idx = pl.pallas_call(
-        functools.partial(_build_idx_kernel, cap=cap, kpad=kpad,
+        functools.partial(_build_idx_kernel, kpad=kpad,
                           wpad=wpad, sections=sections, dtype=dtype),
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_k3_spec(cap, wpad)],
-        out_specs=_k3_spec(cap, kpad),
-        out_shape=jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
+        grid=(r_pad // rb,),
+        in_specs=[_row_spec(wpad, rb)],
+        out_specs=_row_spec(kpad, rb),
+        out_shape=jax.ShapeDtypeStruct((r_pad, kpad), jnp.int32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(inv)
+    )(inv_flat)
+    idx = idx[:r_tot].reshape(nc_pad, cap, kpad)
     return Assignment(idx=idx[:nc], inv=inv[:nc], ovf=ovf[0, 0])
 
 
@@ -383,11 +443,11 @@ def _compact_geometry(px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad):
         # [T,cap] - [R,kpad]: via the 3-D broadcast form (Mosaic cannot
         # reshape [T,cap] -> [R,1]); leading-dim merges/splits are free
         g3 = g.reshape(t_rows, cap, kpad)
-        return (plane[...][:, :, None] - g3).reshape(r_rows, kpad)
+        return (plane[:, :, None] - g3).reshape(r_rows, kpad)
 
-    ax = sub_center(px, _gather_window(cx[...], iv, cap, kpad))
-    ay = sub_center(py, _gather_window(cy[...], iv, cap, kpad))
-    az = sub_center(pz, _gather_window(cz[...], iv, cap, kpad))
+    ax = sub_center(_ldp(px), _gather_window(_ldp(cx), iv, cap, kpad))
+    ay = sub_center(_ldp(py), _gather_window(_ldp(cy), iv, cap, kpad))
+    az = sub_center(_ldp(pz), _gather_window(_ldp(cz), iv, cap, kpad))
     valid = iv < wpad
     d2 = ax * ax + ay * ay + az * az
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -547,10 +607,10 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out, erep,
     if rep is None:
         erep[...] = jnp.zeros_like(erep[...])
     else:
-        a_ij, z_ij = _rep_params(rep, sections, masks, pcs[...], t_rows,
+        a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
                                  cap, dtype)
         e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        erep[...] = _row_sum(e, t_rows, cap)
+        erep[...] = _row_sum(e, t_rows, cap)[:, None, :]
 
 
 def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
@@ -585,10 +645,10 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
                                       t_rows, cap)
 
     if rep is not None:
-        a_ij, z_ij = _rep_params(rep, sections, masks, pcs[...], t_rows,
+        a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
                                  cap, dtype)
         _, de = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        gamma = gamma + _mul_rows(de, grep[...], t_rows, cap)
+        gamma = gamma + _mul_rows(de, _ldp(grep), t_rows, cap)
 
     inv_d = 1.0 / dist
     gx = gamma * ax * inv_d
@@ -619,19 +679,20 @@ def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
     kern = functools.partial(
         _radial_fwd_asn_kernel, spec=spec, rep=rep, cap=cap,
         sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    t = _t_cells(cap, wpad)
     out, erep = pl.pallas_call(
         kern,
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_cen_spec(cap)] * 4 + [_win_spec(wpad)] * 3
-        + [_k3_spec(cap, kpad)],
-        out_specs=[_out1_spec(cap, srl), _cen_spec(cap)],
+        grid=(nc_pad // t,),
+        in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
+        + [_k3_spec(cap, kpad, t)],
+        out_specs=[_out1_spec(cap, srl, t), _cen_spec(cap, t)],
         out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, srl), dtype),
-                   jax.ShapeDtypeStruct((nc_pad, cap), dtype)],
+                   jax.ShapeDtypeStruct((nc_pad, 1, cap), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(px, py, pz, pcs, cx, cy, cz, aidx_p)
-    return out[:nc][cell, slot], erep[:nc][cell, slot]
+    return out[:nc][cell, slot], erep[:nc, 0][cell, slot]
 
 
 def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
@@ -646,7 +707,8 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
     aidx_p = _pad_rows(aidx, nc_pad, wpad)
     ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
     ga = _pad_rows(_to_grid_rows(inv_bins, ga_flat, 0.0), nc_pad, 0.0)
-    grep = _pad_rows(_to_grid_rows(inv_bins, grep_flat, 0.0), nc_pad, 0.0)
+    grep = _pad_rows(_to_grid_rows(inv_bins, grep_flat, 0.0),
+                     nc_pad, 0.0)[:, None, :]
     sh = _wrap_shift_tables(grid, 1, dtype)  # [NC, 27, 3]
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
         1, nc_pad, 27, 3)
@@ -655,16 +717,17 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
     kern = functools.partial(
         _radial_bwd_asn_kernel, spec=spec, rep=rep, cap=cap,
         sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+    t = _t_cells(cap, wpad)
     fcen, wing, dh_pad = pl.pallas_call(
         kern,
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_cen_spec(cap)] * 4 + [_win_spec(wpad)] * 3
-        + [_k3_spec(cap, kpad), _k3_spec(cap, wpad),
-           _out1_spec(cap, srl), _cen_spec(cap),
-           pl.BlockSpec((1, _T_ROWS, 27, 3), lambda i: (0, i, 0, 0),
+        grid=(nc_pad // t,),
+        in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
+        + [_k3_spec(cap, kpad, t), _k3_spec(cap, wpad, t),
+           _out1_spec(cap, srl, t), _cen_spec(cap, t),
+           pl.BlockSpec((1, t, 27, 3), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=[_out1_spec(3, cap),
-                   pl.BlockSpec((1, _T_ROWS, 3, wpad),
+        out_specs=[_out1_spec(3, cap, t),
+                   pl.BlockSpec((1, t, 3, wpad),
                                 lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    _acc1_spec()],
@@ -1069,8 +1132,8 @@ def _decompact_asn_kernel(rank_r, inv_r, idxr, cux, cuy, cuz, cd, cfc,
                                          gtx, gty, gtz, dtype)
 
 
-def _angular_specs(cap, kpad, wpad, atot, al, nc_pad, dtype):
-    cmp_specs = [_k3_spec(cap, atot)] * 6
+def _angular_specs(cap, kpad, wpad, atot, al, nc_pad, dtype, t=_T_ROWS):
+    cmp_specs = [_k3_spec(cap, atot, t)] * 6
     cmp_shapes = [jax.ShapeDtypeStruct((nc_pad, cap, atot), dtype)] * 6
     return cmp_specs, cmp_shapes
 
@@ -1084,18 +1147,19 @@ def _angular_compact_call(spec, grid, sections, kpad, caps, interpret,
     # (stage-2 bisect layout fwd, rank2 dead slot LANE-1 bwd)
     assert atot <= _LANE - 1, atot
     px, py, pz, cx, cy, cz = planes[:3] + planes[4:7]
+    t = _t_cells(cap, wpad)
     cmp_specs, cmp_shapes = _angular_specs(cap, kpad, wpad, atot,
                                            spec.angular_length, nc_pad,
-                                           dtype)
+                                           dtype, t)
     kern = functools.partial(
         _compact_asn_kernel, spec=spec, cap=cap, caps=caps,
         sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
     outs = pl.pallas_call(
         kern,
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_cen_spec(cap)] * 3 + [_win_spec(wpad)] * 3
-        + [_k3_spec(cap, kpad)],
-        out_specs=cmp_specs + [_k3_spec(cap, kpad), _acc1_spec()],
+        grid=(nc_pad // t,),
+        in_specs=[_cen_spec(cap, t)] * 3 + [_win_spec(wpad, t)] * 3
+        + [_k3_spec(cap, kpad, t)],
+        out_specs=cmp_specs + [_k3_spec(cap, kpad, t), _acc1_spec()],
         out_shape=cmp_shapes
         + [jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
            jax.ShapeDtypeStruct((8, 128), dtype)],
@@ -1133,14 +1197,16 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
         arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
         c1 = _chunk1(a1, a2, cap)
         arm1 = [_group_arm1(x, a1 // c1, c1) for x in arm1]
+        t_a = _t_ang(cap)
         kern = functools.partial(
             _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
             dtype=dtype)
         blk = pl.pallas_call(
             kern,
-            grid=(nc_pad // _T_ROWS, a1 // c1),
-            in_specs=[_arm1_spec(cap, c1)] * 5 + [_arm2_spec(cap, a2)] * 5,
-            out_specs=_arm2_spec(cap, asub),
+            grid=(nc_pad // t_a, a1 // c1),
+            in_specs=[_arm1_spec(cap, c1, t_a)] * 5
+            + [_arm2_spec(cap, a2, t_a)] * 5,
+            out_specs=_arm2_spec(cap, asub, t_a),
             out_shape=jax.ShapeDtypeStruct((nc_pad, cap, asub), dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
@@ -1164,11 +1230,21 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
     return out
 
 
-def _arm1_spec(cap, c1):
+def _arm1_spec(cap, c1, t=_T_ROWS):
     # chunk (group) axis FIRST: Mosaic only tiles the last two dims when
     # they are 8/128-divisible or equal the array dims
-    return pl.BlockSpec((1, _T_ROWS, cap, c1), lambda i, g: (g, i, 0, 0),
+    return pl.BlockSpec((1, t, cap, c1), lambda i, g: (g, i, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _t_ang(cap):
+    """Cell rows per pair-block kernel instance: the backward holds ~45
+    live [t*cap, 128]-lane pair temps (measured 16.4 MB at 384 rows),
+    so bound rows as capacity regrows raise cap."""
+    t = 8
+    while t > 1 and t * cap * 44 * 1024 > 12 * 2 ** 20:
+        t //= 2
+    return t
 
 
 def _group_arm1(x, n_g, c1):
@@ -1183,8 +1259,8 @@ def _ungroup_arm1(x):
     return jnp.moveaxis(x, 0, 2).reshape(ncp, cap, n_g * c1)
 
 
-def _arm2_spec(cap, a):
-    return pl.BlockSpec((_T_ROWS, cap, a), lambda i, g: (i, 0, 0),
+def _arm2_spec(cap, a, t=_T_ROWS):
+    return pl.BlockSpec((t, cap, a), lambda i, g: (i, 0, 0),
                         memory_space=pltpu.VMEM)
 
 
@@ -1240,16 +1316,18 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
         c1 = _chunk1(a1, a2, cap)
         n_g = a1 // c1
         arm1 = [_group_arm1(x, n_g, c1) for x in arm1]
+        t_a = _t_ang(cap)
         kern = functools.partial(
             _block_bwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
             dtype=dtype)
         outs = pl.pallas_call(
             kern,
-            grid=(nc_pad // _T_ROWS, n_g),
-            in_specs=[_arm1_spec(cap, c1)] * 5 + [_arm2_spec(cap, a2)] * 5
-            + [_arm2_spec(cap, asub)],
-            out_specs=[_arm1_spec(cap, c1)] * 5
-            + [_arm2_spec(cap, a2)] * 5,
+            grid=(nc_pad // t_a, n_g),
+            in_specs=[_arm1_spec(cap, c1, t_a)] * 5
+            + [_arm2_spec(cap, a2, t_a)] * 5
+            + [_arm2_spec(cap, asub, t_a)],
+            out_specs=[_arm1_spec(cap, c1, t_a)] * 5
+            + [_arm2_spec(cap, a2, t_a)] * 5,
             out_shape=[jax.ShapeDtypeStruct((n_g, nc_pad, cap, c1),
                                             dtype)] * 5
             + [jax.ShapeDtypeStruct((nc_pad, cap, a2), dtype)] * 5,
@@ -1269,16 +1347,17 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
     kern = functools.partial(
         _decompact_asn_kernel, spec=spec, cap=cap, caps=caps,
         sections=sections, kpad=kpad, wpad=wpad, atot=atot, dtype=dtype)
+    t = _t_cells(cap, wpad)
     fcen, wing, dh_pad = pl.pallas_call(
         kern,
-        grid=(nc_pad // _T_ROWS,),
-        in_specs=[_k3_spec(cap, kpad), _k3_spec(cap, wpad),
-                  _k3_spec(cap, kpad)]
-        + [_k3_spec(cap, atot)] * 11
-        + [pl.BlockSpec((1, _T_ROWS, 27, 3), lambda i: (0, i, 0, 0),
+        grid=(nc_pad // t,),
+        in_specs=[_k3_spec(cap, kpad, t), _k3_spec(cap, wpad, t),
+                  _k3_spec(cap, kpad, t)]
+        + [_k3_spec(cap, atot, t)] * 11
+        + [pl.BlockSpec((1, t, 27, 3), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=[_out1_spec(3, cap),
-                   pl.BlockSpec((1, _T_ROWS, 3, wpad),
+        out_specs=[_out1_spec(3, cap, t),
+                   pl.BlockSpec((1, t, 3, wpad),
                                 lambda i: (0, i, 0, 0),
                                 memory_space=pltpu.VMEM),
                    _acc1_spec()],
