@@ -72,7 +72,8 @@ def main():
                                    ghost_capacity=max(4096, n_atoms // 2),
                                    rebuild_every=steps_per_chunk,
                                    use_cell_list=n_rep >= 3,
-                                   cell_capacity=32),
+                                   cell_capacity=int(os.environ.get(
+                                       "BENCH_CELL_CAP", "32"))),
             dt=dt, dtype=jnp.float32, cellroll=cellroll)
         state = sim.init_state(data.positions, box, temp=300.0, seed=1,
                                compute_virial=True)
@@ -84,29 +85,46 @@ def main():
         # early-trajectory overflow recompile here keeps it out of the
         # timed region.
         warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "4"))
+        max_warm = int(os.environ.get("BENCH_MAX_WARM_CHUNKS", "16"))
         state, _ = sim.run(state, steps_per_chunk * warm_chunks)
+        # keep warming until one full chunk completes with every capacity
+        # stable: regrows are monotonic ratchets toward the trajectory's
+        # high-water marks, and a regrow inside the timed region would
+        # charge a whole-program recompile (~minutes over the tunnel) to
+        # ms/step — production runs amortize that over 100k+ steps
+        for _ in range(max(0, max_warm - warm_chunks)):
+            ev = sim.regrow_events
+            state, _ = sim.run(state, steps_per_chunk)
+            if sim.regrow_events == ev:
+                break
         jax.block_until_ready(state.pos)
         return sim, state
 
-    try:
+    total_steps = steps_per_chunk * n_chunks
+
+    def warm_and_time():
         sim, state = build_and_warm()
+        t0 = time.perf_counter()
+        state, _ = sim.run(state, total_steps)
+        jax.block_until_ready(state.pos)
+        return sim, time.perf_counter() - t0
+
+    try:
+        sim, wall = warm_and_time()
     except Exception as exc:  # noqa: BLE001
         # engine-mode safety net: a Mosaic-only failure in the default
         # fast path must degrade the benchmark, not zero it — fall back
-        # to the hybrid engine and report which mode actually ran
+        # to the hybrid engine and report which mode actually ran. The
+        # timed run is covered too: a mid-run capacity regrow compiles a
+        # fresh program that warmup never exercised.
         if os.environ.get("LAT_ROLL_IMPL"):
             raise
         print(f"default engine failed ({type(exc).__name__}: {exc}); "
               "falling back to LAT_ROLL_IMPL=pallas", file=sys.stderr)
         os.environ["LAT_ROLL_IMPL"] = "pallas"
-        sim, state = build_and_warm()
+        sim, wall = warm_and_time()
 
-    total_steps = steps_per_chunk * n_chunks
-    t0 = time.perf_counter()
-    state, _ = sim.run(state, total_steps)
-    jax.block_until_ready(state.pos)
-    t1 = time.perf_counter()
-    ms_per_step = (t1 - t0) * 1e3 / total_steps
+    ms_per_step = wall * 1e3 / total_steps
     steps_per_s = 1e3 / ms_per_step
     ns_per_day = dt * 86.4 / ms_per_step
     matom_steps = n_atoms * steps_per_s / 1e6
@@ -119,7 +137,7 @@ def main():
         "detail": {
             "n_atoms": n_atoms,
             "total_steps": total_steps,
-            "wall_s": round(t1 - t0, 2),
+            "wall_s": round(wall, 2),
             "ms_per_step": round(ms_per_step, 3),
             "steps_per_s": round(steps_per_s, 3),
             "matom_steps_per_s": round(matom_steps, 4),

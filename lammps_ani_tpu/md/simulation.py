@@ -169,6 +169,10 @@ class Simulation:
         self._auto_angular_caps = (
             auto_angular_caps and potential.spec.angular_caps is None)
         self._chunk_cache = {}
+        # cumulative count of capacity regrows run() has performed; lets
+        # callers (bench.py) warm up until capacities stop ratcheting so
+        # a regrow's whole-program recompile never lands in a timed region
+        self.regrow_events = 0
 
     # ---------- setup ----------
 
@@ -886,6 +890,7 @@ class Simulation:
                     jax.device_get(state.box.h)):
                 # box rescaled past the grids' slack: re-derive (recompiles)
                 self._setup_grids(state.pos, state.box)
+                self.regrow_events += 1
             take = min(chunk, n_steps - done)
             fn = self._jitted_chunk(take)
             new_state, traj, disp, overflow, n_done = fn(state)
@@ -897,6 +902,7 @@ class Simulation:
                 # chunk from the same (discarded-chunk-input) state — the
                 # reference's 1.5x buffer regrow, pair_ani.cpp:119-127.
                 recap_attempts += 1
+                self.regrow_events += 1
                 if recap_attempts > 8:
                     raise RuntimeError(
                         f"capacities keep overflowing after 8 regrows: {ovf}")

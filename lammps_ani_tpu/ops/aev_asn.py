@@ -107,26 +107,42 @@ def _round_lane(n: int) -> int:
     return -(-n // _LANE) * _LANE
 
 
-def _gather_lanes(src, iv, out_chunks):
-    """out[r, k] = src[r, iv[r, k]] with src [R, wpad], iv [R, kc*128].
+def _gather_lanes_multi(srcs, iv, out_chunks):
+    """out_s[r, k] = srcs[s][r, iv[r, k]] with srcs [R, wpad], iv [R, kc*128].
 
     Mosaic's dynamic_gather works per 128-lane vreg, so the gather runs
     per (output vreg, source vreg) pair with in-chunk selects. Indices
-    == wpad (dead) match no chunk and yield 0."""
-    r, wpad = src.shape
-    zero = jnp.zeros((), src.dtype)
-    outs = []
+    == wpad (dead) match no chunk and yield 0.
+
+    Several same-shape sources share one index set: the per-chunk-pair
+    index temps (shifted/clipped indices + bounds mask) are computed once
+    for all sources, and select-accumulate (where(hit, g, acc) — hit is
+    disjoint across source chunks) replaces the gather+where+add chain.
+    Both cuts matter because Mosaic's stack allocator never reuses slots
+    within a kernel body: the 3-axis wing decompact was the largest
+    stack term of the backward kernels (measured 19.6 MB at cap 36 /
+    wpad 1024 / 8 cell rows before this form; the VMEM scoped limit is
+    16 MB)."""
+    r, wpad = srcs[0].shape
+    outs = [[] for _ in srcs]
     for kc in range(out_chunks):
         ivc = iv[:, kc * _LANE:(kc + 1) * _LANE]
-        acc = jnp.zeros((r, _LANE), src.dtype)
+        accs = [jnp.zeros((r, _LANE), s.dtype) for s in srcs]
         for c in range(wpad // _LANE):
             lo = c * _LANE
-            g = jnp.take_along_axis(src[:, lo:lo + _LANE],
-                                    jnp.clip(ivc - lo, 0, _LANE - 1),
-                                    axis=1)
-            acc = acc + jnp.where((ivc >= lo) & (ivc < lo + _LANE), g, zero)
-        outs.append(acc)
-    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+            loc = jnp.clip(ivc - lo, 0, _LANE - 1)
+            hit = (ivc >= lo) & (ivc < lo + _LANE)
+            for si, src in enumerate(srcs):
+                g = jnp.take_along_axis(src[:, lo:lo + _LANE], loc, axis=1)
+                accs[si] = jnp.where(hit, g, accs[si])
+        for si, acc in enumerate(accs):
+            outs[si].append(acc)
+    return tuple(jnp.concatenate(o, axis=1) if len(o) > 1 else o[0]
+                 for o in outs)
+
+
+def _gather_lanes(src, iv, out_chunks):
+    return _gather_lanes_multi((src,), iv, out_chunks)[0]
 
 
 def _bcast_rows(plane, cap):
@@ -136,9 +152,11 @@ def _bcast_rows(plane, cap):
         t * cap, wpad)
 
 
-def _gather_window(plane, iv, cap, kpad):
-    """Gather [T, wpad] window plane by [R, kpad] indices -> [R, kpad]."""
-    return _gather_lanes(_bcast_rows(plane, cap), iv, kpad // _LANE)
+def _gather_window_multi(planes, iv, cap, kpad):
+    """Gather [T, wpad] window planes by [R, kpad] indices -> [R, kpad]
+    each, sharing the index temps across planes."""
+    srcs = tuple(_bcast_rows(p, cap) for p in planes)
+    return _gather_lanes_multi(srcs, iv, kpad // _LANE)
 
 
 def _prep_asn(grid, inv_bins, csp_grid, pos, h, wpad):
@@ -361,9 +379,20 @@ def _idx_row_block(wpad, kpad, n_sections):
 def _t_cells(cap, wpad):
     """Cell rows per block for the window-structured build/step kernels:
     keep rows*wpad stack temps bounded as capacity regrows widen the
-    window (cap 32 -> the historical 8-cell block; cap 48 -> 4)."""
+    window (cap 32 -> the historical 8-cell block, proven on hardware;
+    cap 36+ -> 4).
+
+    50 B/(row*window lane) is calibrated against the worst offender (the
+    angular decompact kernel measured 69.6 B/row-lane pre-
+    _gather_lanes_multi at cap 36; the shared-index refactor removes two
+    of the three per-chunk index/mask temp sets) and pinned so cap 32
+    keeps t=8 (the default capacity, compiled and run on-chip) while
+    cap 36 drops to t=4 — the previous 48 B estimate left cap 36
+    EXACTLY at the threshold (8*36*1024*48 == the 13.5 MB bound, and
+    the comparison was strict), so a mid-run capacity regrow kept t=8
+    and died in compile at 19.58 MB scoped VMEM (hard limit 16 MB)."""
     t = 8
-    while t > 1 and t * cap * wpad * 48 > 13 * 2 ** 20 + 2 ** 19:
+    while t > 1 and t * cap * wpad * 50 >= 13 * 2 ** 20 + 2 ** 19:
         t //= 2
     return t
 
@@ -445,9 +474,11 @@ def _compact_geometry(px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad):
         g3 = g.reshape(t_rows, cap, kpad)
         return (plane[:, :, None] - g3).reshape(r_rows, kpad)
 
-    ax = sub_center(_ldp(px), _gather_window(_ldp(cx), iv, cap, kpad))
-    ay = sub_center(_ldp(py), _gather_window(_ldp(cy), iv, cap, kpad))
-    az = sub_center(_ldp(pz), _gather_window(_ldp(cz), iv, cap, kpad))
+    gcx, gcy, gcz = _gather_window_multi(
+        (_ldp(cx), _ldp(cy), _ldp(cz)), iv, cap, kpad)
+    ax = sub_center(_ldp(px), gcx)
+    ay = sub_center(_ldp(py), gcy)
+    az = sub_center(_ldp(pz), gcz)
     valid = iv < wpad
     d2 = ax * ax + ay * ay + az * az
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -515,8 +546,8 @@ def _wing_center(gx, gy, gz, inv_r, t_rows, cap, kpad, wpad, fcen, wing):
     fcen[:, 1, :] = _row_sum(gy, t_rows, cap)
     fcen[:, 2, :] = _row_sum(gz, t_rows, cap)
     invv = inv_r[...].reshape(r_rows, wpad)
-    for c, g_c in enumerate((gx, gy, gz)):
-        w_c = _gather_lanes(g_c, invv, wpad // _LANE)  # [R, wpad]
+    wdec = _gather_lanes_multi((gx, gy, gz), invv, wpad // _LANE)
+    for c, w_c in enumerate(wdec):  # [R, wpad] each
         wing[0, :, c, :] = -jnp.sum(w_c.reshape(t_rows, cap, wpad), axis=1)
 
 
@@ -870,13 +901,13 @@ def _stage2_compact(spec, sections, caps, ax, ay, az, dist, valid,
     live = k_of_a < kpad
     k_clip = jnp.clip(k_of_a, 0, kpad - 1)
 
-    def compact(x):
-        g = jnp.where(live, _gather_lanes(x, k_clip, 1),
-                      jnp.zeros((), dtype))
+    def trim(g):
+        g = jnp.where(live, g, jnp.zeros((), dtype))
         return g[:, :atot].reshape(t_rows, cap, atot)
 
     big = jnp.asarray(2.0 * rca + 10.0, dtype)
-    cax, cay, caz = compact(ax), compact(ay), compact(az)
+    cax, cay, caz = (trim(g) for g in _gather_lanes_multi(
+        (ax, ay, az), k_clip, 1))
     cd = jnp.sqrt(jnp.maximum(
         cax * cax + cay * cay + caz * caz, 1e-12))
     mask = cd > 1e-6
