@@ -45,13 +45,15 @@ def main():
                   origin=jnp.asarray(data.box_origin, jnp.float32))
     state = sim.init_state(data.positions, box, temp=300.0, seed=1)
 
+    import jax.numpy as _jnp
     fn = sim._jitted_chunk(steps)
-    out = fn(state)
+    n_take = _jnp.asarray(steps, _jnp.int32)
+    out = fn(state, n_take)
     jax.block_until_ready(out[0].pos)
 
     log_dir = "/tmp/lat_trace"
     with profiling.trace(log_dir):
-        out = fn(state)
+        out = fn(state, n_take)
         jax.block_until_ready(out[0].pos)
     rows = profiling.summarize_trace(log_dir, top=35)
     total = 0.0

@@ -759,7 +759,16 @@ class Simulation:
             step=state.step + 1, rng=key, thermostat=ts, barostat=bs,
         ), deficit
 
-    def _chunk(self, state: MDState, n_steps: int):
+    def _chunk(self, state: MDState, n_take, n_steps: int):
+        """One rebuild + up to n_steps fused MD steps.
+
+        n_take (traced int32 scalar) caps how many of the n_steps are
+        actually integrated; the rest execute frozen (alive=False). This
+        lets run() serve ANY tail length with the single compiled
+        rebuild_every-sized program — a distinct static chunk size per
+        tail would recompile the whole program (minutes over the
+        tunnel) to save at most one chunk's worth of frozen-step
+        compute."""
         pos_w = nbops.wrap_positions(state.pos, state.box)
         bins = self._bins(pos_w, state.box)
         if self._pallas_roll or self._pallas_asn:
@@ -777,7 +786,7 @@ class Simulation:
 
         half_skin = jnp.asarray(self._skin_eff / 2.0, self.dtype)
 
-        def body(carry, _):
+        def body(carry, i):
             st, alive, n_done = carry
             # LAMMPS `neigh_modify check yes`: if any atom has moved more
             # than skin/2 since the rebuild, the frozen list may be stale —
@@ -785,7 +794,7 @@ class Simulation:
             # resumes from a fresh rebuild at this exact state.
             disp_now = jnp.max(jnp.linalg.norm(
                 st.pos - st.pos_at_rebuild, axis=-1))
-            alive = alive & (disp_now <= half_skin)
+            alive = alive & (disp_now <= half_skin) & (i < n_take)
             new_st, deficit = self._step(st)
             # select only the fields _step changes (the frozen neighbor
             # structures are large and identical in both branches)
@@ -812,7 +821,7 @@ class Simulation:
 
         carry0 = (state, jnp.ones((), bool), jnp.zeros((), jnp.int32))
         (state, _, n_done), (traj, deficits) = jax.lax.scan(
-            body, carry0, length=n_steps)
+            body, carry0, jnp.arange(n_steps, dtype=jnp.int32))
         if self._pallas_asn:
             # the frozen assignment tables are ~GB-scale at bench sizes
             # and stale after the chunk; dropping them from the returned
@@ -871,6 +880,15 @@ class Simulation:
                 functools.partial(self._chunk, n_steps=n_steps))
         return self._chunk_cache[n_steps]
 
+    @staticmethod
+    def _verbose(msg: str):
+        import os as _os
+        if _os.environ.get("LAT_VERBOSE"):
+            import sys as _sys
+            import time as _time
+            print(f"[lat {_time.strftime('%H:%M:%S')}] {msg}",
+                  file=_sys.stderr, flush=True)
+
     # ---------- host API ----------
 
     def run(self, state: MDState, n_steps: int,
@@ -891,9 +909,13 @@ class Simulation:
                 # box rescaled past the grids' slack: re-derive (recompiles)
                 self._setup_grids(state.pos, state.box)
                 self.regrow_events += 1
-            take = min(chunk, n_steps - done)
-            fn = self._jitted_chunk(take)
-            new_state, traj, disp, overflow, n_done = fn(state)
+            # one compiled chunk size serves every tail: n_take (traced)
+            # freezes the surplus steps instead of compiling a new program
+            size = chunk if n_steps >= chunk else n_steps
+            take = min(size, n_steps - done)
+            fn = self._jitted_chunk(size)
+            new_state, traj, disp, overflow, n_done = fn(
+                state, jnp.asarray(take, jnp.int32))
             ang_deficit = overflow.pop("angular_deficit", None)
             roll_count = overflow.pop("roll_count", None)
             ovf = {k: bool(v) for k, v in jax.device_get(overflow).items()}
@@ -903,6 +925,11 @@ class Simulation:
                 # reference's 1.5x buffer regrow, pair_ani.cpp:119-127.
                 recap_attempts += 1
                 self.regrow_events += 1
+                self._verbose(
+                    f"regrow at step {done}: "
+                    f"{[k for k, v in ovf.items() if v]} "
+                    f"(roll cap {self._roll_grid.cap if self._roll_grid else None}, "
+                    f"angular caps {self.potential.spec.angular_caps})")
                 if recap_attempts > 8:
                     raise RuntimeError(
                         f"capacities keep overflowing after 8 regrows: {ovf}")
@@ -983,6 +1010,11 @@ class Simulation:
             # remaining steps (LAMMPS `neigh_modify check yes` semantics);
             # loop around — the next chunk starts with a fresh rebuild at
             # exactly the accepted state.
+            if n_done < take:
+                self._verbose(
+                    f"stale freeze at step {done + n_done}: accepted "
+                    f"{n_done}/{take}, max disp {float(disp):.3f} A "
+                    f"> skin/2 {self._skin_eff / 2:.2f}")
             state = new_state
             if thermo_every:
                 traj_np = jax.tree.map(np.asarray, traj)
