@@ -34,9 +34,23 @@ def main():
     steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "24"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "3"))
 
-    data = ldio.replicate(
-        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
-        n_rep, n_rep, n_rep)
+    import dataclasses
+
+    tile = ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data")
+    # Start from the tile equilibrated under the SYNTHETIC potential
+    # (tools/equilibrate_tile.py). Replication preserves every atom's
+    # neighbor environment, so the replicated box starts at equilibrium:
+    # the raw reference geometry is an equilibrium of real ANI-2x, not
+    # of the synthetic stand-in weights, and benching from it measures a
+    # violent warmup transient (staleness freezes + capacity ratcheting
+    # with a recompile per regrow) instead of production steady state.
+    equil = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "examples", "benchmark", "data",
+                         "equil_water30.npz")
+    if os.path.exists(equil) and os.environ.get("BENCH_EQUIL", "1") == "1":
+        z = np.load(equil)
+        tile = dataclasses.replace(tile, positions=z["positions"])
+    data = ldio.replicate(tile, n_rep, n_rep, n_rep)
     n_atoms = data.n_atoms
 
     if os.environ.get("BENCH_PARITY", "0") == "1":
@@ -54,11 +68,17 @@ def main():
                               "unit": "bool", "vs_baseline": 0}))
             sys.exit(1)
 
+    from lammps_ani_tpu.md import integrate
+
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
     skin = float(os.environ.get("BENCH_SKIN", "2.0"))
     ang_skin = float(os.environ.get("BENCH_ANG_SKIN", "2.0"))
     atom_chunk = int(os.environ.get("BENCH_ATOM_CHUNK", "2048"))
-    pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
+    # repulsion=True: the synthetic MLP weights lack the short-range
+    # core wall real trained ANI-2x learns, so bare synthetic MD slowly
+    # collapses (runaway speeds, unbounded capacity growth); the XTB
+    # term rides the radial kernel, so its cost is part of the headline
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float32, repulsion=True,
                     atom_chunk=min(atom_chunk, 30 * n_rep ** 3))
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
                   origin=jnp.asarray(data.box_origin, jnp.float32))
@@ -74,7 +94,15 @@ def main():
                                    use_cell_list=n_rep >= 3,
                                    cell_capacity=int(os.environ.get(
                                        "BENCH_CELL_CAP", "32"))),
-            dt=dt, dtype=jnp.float32, cellroll=cellroll)
+            dt=dt, dtype=jnp.float32, cellroll=cellroll,
+            # the reference benchmark thermostats: `fix langevin 300 300
+            # 100` + nve (/root/reference/examples/benchmark/in.lammps:
+            # 57-59). Bare NVE on the unequilibrated replicated box heats
+            # until equipartition — displacement per chunk then keeps
+            # violating the half-skin bound and the capacity caps ratchet
+            # all run long (each regrow recompiles), which benches the
+            # warmup transient instead of production steady state.
+            integrator=integrate.Langevin(temp=300.0, damp=100.0))
         state = sim.init_state(data.positions, box, temp=300.0, seed=1,
                                compute_virial=True)
         # warmup / compile through the production path: run() owns

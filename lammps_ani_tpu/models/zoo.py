@@ -27,10 +27,19 @@ ANI1X_SYMBOLS = ("H", "C", "N", "O")
 
 
 def ani2x(num_models: int = 8, seed: int = 0, dtype=jnp.float32,
-          params=None, atom_chunk=None) -> potmod.ANIPotential:
+          params=None, atom_chunk=None,
+          repulsion: bool = False) -> potmod.ANIPotential:
     """ANI-2x architecture (reference models/ani_models.py:16-19).
 
     `params=None` -> deterministic synthetic ensemble weights.
+
+    `repulsion=True` adds the XTB core-repulsion term (off in the
+    reference's ANI-2x, models/ani_models.py:16-19, because trained
+    weights learn short-range repulsion). The synthetic stand-in
+    weights do not: without a core wall the liquid slowly collapses
+    into the MLP's unphysical minima (density spikes, runaway atoms),
+    so long synthetic-weight MD should opt in to stay in a stable
+    liquid-like regime.
     """
     aev_spec = aevmod.ani2x_aev_spec()
     net_spec = netmod.NetworkSpec(aev_length=aev_spec.aev_length,
@@ -38,10 +47,13 @@ def ani2x(num_models: int = 8, seed: int = 0, dtype=jnp.float32,
     if params is None:
         params = netmod.init_network_params(
             net_spec, num_models, jax.random.PRNGKey(seed), dtype)
+    rep = (repmod.RepulsionSpec.for_symbols(
+        ANI2X_SYMBOLS, cutoff=5.1, cutoff_fn="smooth")
+        if repulsion else None)
     spec = potmod.ANISpec(
         aev=aev_spec, net=net_spec,
         shifter=netmod.EnergyShifter(netmod.ANI2X_SELF_ENERGIES),
-        repulsion=None, symbols=ANI2X_SYMBOLS, atom_chunk=atom_chunk)
+        repulsion=rep, symbols=ANI2X_SYMBOLS, atom_chunk=atom_chunk)
     return potmod.ANIPotential(spec=spec, params=params)
 
 

@@ -1015,7 +1015,6 @@ def _block_fwd_kernel(*refs, spec, c1, a2, same, dtype):
     sl1 = _slots_from(refs[0:5], lead=True)
     sl2 = _slots_from(refs[5:10])
     out = refs[10]
-    nsz = len(spec.shf_z)
     g = pl.program_id(1)
     pt = _pair_terms_chunk(spec, sl1, sl2, c1, a2, same, g, dtype)
     scale = 1.0 if same else 2.0
@@ -1024,12 +1023,15 @@ def _block_fwd_kernel(*refs, spec, c1, a2, same, dtype):
     def _():
         out[...] = jnp.zeros_like(out[...])
 
+    # accumulate the 32 column sums in registers and commit with ONE
+    # read-modify-write: per-column `out[:, :, col] +=` forced 32 masked
+    # single-lane RMW round trips through the output ref per instance
+    cols = []
     for j, e in enumerate(pt["e_j"]):
         f2 = pt["fc12"] * e
         for m, f1 in enumerate(pt["f1_m"]):
-            col = j * nsz + m
-            out[:, :, col] = out[:, :, col] + scale * jnp.sum(
-                f2 * f1, axis=-1)
+            cols.append(jnp.sum(f2 * f1, axis=-1))
+    out[...] = out[...] + scale * jnp.stack(cols, axis=-1)
 
 
 def _place(val, off, atot):
