@@ -31,8 +31,14 @@ def main():
 
     n_rep = int(os.environ.get("BENCH_REP", "15"))  # 15^3 * 30 = 101,250
     dt = 0.5
-    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "24"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "3"))
+    # 12-step chunks: the max thermal displacement across 101k atoms
+    # covers ~0.9 A in 24 steps at 300 K — right at the half-skin bound,
+    # so 24-step chunks froze (and wasted) their back halves nearly every
+    # time. The reference rebuilds at the same ~10-15 step cadence
+    # (neigh_modify every 10 check yes); the asn rebuild is ~36 ms, so
+    # the amortized cost at 12 is ~3 ms/step against ~45% freeze waste.
+    steps_per_chunk = int(os.environ.get("BENCH_REBUILD", "12"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "6"))
 
     import dataclasses
 
@@ -69,6 +75,16 @@ def main():
             sys.exit(1)
 
     from lammps_ani_tpu.md import integrate
+
+    # capacity margins: start at the steady-state high-water marks
+    # instead of the t=0 measurement, so thermal-tail density spikes
+    # don't trigger mid-run capacity regrows (each one recompiles the
+    # whole chunk program). Values land on the capacities observed after
+    # the ratchet settles at this workload; production pays the same
+    # trade (margin lanes vs a recompile per ~500 steps).
+    os.environ.setdefault("LAT_ROLL_CAP_MARGIN", "4")
+    os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.4")
+    os.environ.setdefault("LAT_SEC_MARGIN", "1.25")
 
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
     skin = float(os.environ.get("BENCH_SKIN", "2.0"))
@@ -120,10 +136,14 @@ def main():
         # high-water marks, and a regrow inside the timed region would
         # charge a whole-program recompile (~minutes over the tunnel) to
         # ms/step — production runs amortize that over 100k+ steps
+        stable = 0
         for _ in range(max(0, max_warm - warm_chunks)):
             ev = sim.regrow_events
             state, _ = sim.run(state, steps_per_chunk)
-            if sim.regrow_events == ev:
+            # two consecutive regrow-free chunks: capacity high-water
+            # marks creep for a while after the first quiet chunk
+            stable = stable + 1 if sim.regrow_events == ev else 0
+            if stable >= 2:
                 break
         jax.block_until_ready(state.pos)
         return sim, state

@@ -23,22 +23,36 @@ def main():
 
     n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 15
     cellroll = (sys.argv[2] != "0") if len(sys.argv) > 2 else True
-    steps = int(os.environ.get("PROF_STEPS", "10"))
+    steps = int(os.environ.get("PROF_STEPS", "12"))
 
-    data = ldio.replicate(
-        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
-        n_rep, n_rep, n_rep)
-    pot = zoo.ani2x(num_models=1, dtype=jnp.float32,
+    import dataclasses
+
+    from lammps_ani_tpu.md import integrate
+
+    # mirror bench.py: equilibrated tile, core repulsion, thermostat,
+    # capacity margins — profile what the headline number executes
+    os.environ.setdefault("LAT_ROLL_CAP_MARGIN", "4")
+    os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.4")
+    os.environ.setdefault("LAT_SEC_MARGIN", "1.25")
+    tile = ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data")
+    equil = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "data", "equil_water30.npz")
+    if os.path.exists(equil):
+        z = np.load(equil)
+        tile = dataclasses.replace(tile, positions=z["positions"])
+    data = ldio.replicate(tile, n_rep, n_rep, n_rep)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float32, repulsion=True,
                     atom_chunk=min(2048, data.n_atoms))
     sim = lat.Simulation(
         potential=pot, species=data.species,
         masses=data.masses_by_type[data.species],
-        nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=2.0, ang_skin=2.0,
                                k_max=128,
                                ghost_capacity=max(4096, data.n_atoms // 2),
                                rebuild_every=steps,
                                use_cell_list=n_rep >= 3, cell_capacity=32),
-        dt=0.5, dtype=jnp.float32, cellroll=cellroll)
+        dt=0.5, dtype=jnp.float32, cellroll=cellroll,
+        integrator=integrate.Langevin(temp=300.0, damp=100.0))
     print(f"n_atoms={data.n_atoms} roll_impl={sim._roll_impl} "
           f"cellroll={cellroll}", flush=True)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),

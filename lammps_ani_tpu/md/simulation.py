@@ -41,6 +41,18 @@ from . import integrate
 from .state import MDState
 
 
+def _roll_cap_margin() -> int:
+    """Extra roll-bin slots above the measured occupancy (+2 base).
+
+    Every slot adds 27 window lanes to each per-step asn kernel, so the
+    default stays tight; long production runs (bench.py sets 4) buy
+    margin so a thermal-tail occupancy spike can't trigger a capacity
+    regrow — each regrow recompiles the whole chunk program, which
+    costs far more amortized than the extra lanes."""
+    import os as _os
+    return int(_os.environ.get("LAT_ROLL_CAP_MARGIN", "0"))
+
+
 @dataclasses.dataclass(frozen=True)
 class NeighborConfig:
     cutoff: float  # interaction cutoff (Angstrom)
@@ -331,7 +343,7 @@ class Simulation:
                     lambda p, b: crmod.build_bins(
                         probe, nbops.wrap_positions(p, b),
                         self.species, b).count_max)(pos, box)))
-                cap = int(-(-int(cnt + 2) // 4) * 4)
+                cap = int(-(-int(cnt + 2 + _roll_cap_margin()) // 4) * 4)
                 return crmod.RollGrid(ncells=probe.ncells, cap=cap)
 
             # ONE coarse grid (side >= Rcr + skin) serves both channels:
@@ -360,7 +372,7 @@ class Simulation:
                         self.species, b).count_max)(pos, box)))
                 # tight cap: radial kernel work scales with cap^2; the
                 # structured overflow recovery regrows on demand
-                cap = int(-(-int(cnt + 2) // 4) * 4)
+                cap = int(-(-int(cnt + 2 + _roll_cap_margin()) // 4) * 4)
                 self._roll_grid = crmod.RollGrid(ncells=probe.ncells,
                                                  cap=cap)
                 self._rlist_query = (
@@ -547,7 +559,9 @@ class Simulation:
                     for s, d in enumerate(np.asarray(degs)) if d > 0)
             # ~10% headroom: density fluctuations between re-measures grow
             # sections without a recompile only via overflow recovery
-            self._rad_sections = mk_sections(sec["rad"], 1.1)
+            import os as _os
+            self._rad_sections = mk_sections(
+                sec["rad"], float(_os.environ.get("LAT_SEC_MARGIN", "1.1")))
         self._ang_cap = int(-(-int(ang_deg * 1.1 + 2) // 4) * 4)
         # tight neighbor capacity too (radial/displacement work is linear in
         # k_max); growth handled by the same overflow-recovery path

@@ -1231,6 +1231,12 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
         c1 = _chunk1(a1, a2, cap)
         arm1 = [_group_arm1(x, a1 // c1, c1) for x in arm1]
         t_a = _t_ang(cap)
+        # fwd-only block-rows override (A/B: per-instance overhead vs
+        # VMEM): the forward holds ~25 live pair planes vs the
+        # backward's ~45, so it can afford taller blocks
+        tf = int(_os.environ.get("LAT_ANG_ROWS_FWD", "0"))
+        if tf and nc_pad % tf == 0:
+            t_a = tf
         kern = functools.partial(
             _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
             dtype=dtype)
