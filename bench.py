@@ -82,8 +82,11 @@ def main():
     # whole chunk program). Values land on the capacities observed after
     # the ratchet settles at this workload; production pays the same
     # trade (margin lanes vs a recompile per ~500 steps).
+    # angular margin 1.1: the pair-block cost is quadratic in the caps,
+    # and 1.4 overshot the H cap to 28 where the observed ratcheted
+    # high-water is 20 (1.5x the angular work for nothing; profiled).
     os.environ.setdefault("LAT_ROLL_CAP_MARGIN", "4")
-    os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.4")
+    os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.1")
     os.environ.setdefault("LAT_SEC_MARGIN", "1.25")
 
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
