@@ -1002,7 +1002,7 @@ def _pair_terms_chunk(spec, sl1, sl2, c1, a2, same, g, dtype):
     pt = _angular_pair_terms(spec, consts, sl1, sl2, c1, a2, False, dtype)
     if same:
         tq = pt["fc12"].shape
-        qi = jax.lax.broadcasted_iota(jnp.int32, tq, 2)
+        qi = jax.lax.broadcasted_iota(jnp.int32, tq, len(tq) - 1)
         diag = (qi // a2 + g * c1) == (qi % a2)
         pt["fc12"] = jnp.where(diag, jnp.zeros((), dtype), pt["fc12"])
         pt["diag"] = diag
@@ -1071,10 +1071,10 @@ def _block_bwd_kernel(*refs, spec, c1, a2, same, dtype):
         f1 = pt["f1_m"][m]
         df1_m = jnp.zeros(tq, dtype)
         for j in range(len(spec.shf_a)):
-            g_jm = gav[:, :, j * nsz + m] * scale
+            g_jm = gav[..., j * nsz + m] * scale
             f2 = pt["fc12"] * pt["e_j"][j]
-            df1_m = df1_m + g_jm[:, :, None] * f2
-            df2[j] = df2[j] + g_jm[:, :, None] * f1
+            df1_m = df1_m + g_jm[..., None] * f2
+            df2[j] = df2[j] + g_jm[..., None] * f1
         dbase = df1_m * (zeta / pt["base_m"][m]) * f1
         dcos = dcos + dbase * 0.5 * (
             cos_m[m] - pt["c95"] / pt["sv"] * sin_m[m]) * 0.95
@@ -1220,39 +1220,38 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
         nc_pad, dtype)
 
     asub = spec.angular_sublength
-    # flat-row channel assembly: a grid-layout [nc_pad, cap, ang_len]
-    # accumulator costs ~3.5x the flat [n, ang_len] form in HBM (grid row
-    # padding) — gather each block to atom rows and concat channels
+    n = cell.shape[0]
+    # FLAT-ROW pair blocks: the pair-term kernels are row-independent
+    # (each row = one center atom), so they run over gathered flat atom
+    # rows instead of the [nc, cap] grid layout — zero dead cap-slot
+    # rows (cap sits ~45% above mean occupancy at the bench box), fewer
+    # instances, and the per-block output gather disappears.
+    cflat = _compact_to_flat(compact, cell, slot, nc, n,
+                             spec.angular_cutoff, dtype)
+    n_pad2 = cflat[0].shape[0]
+    r = _r_flat(n)
     pieces = {}
     for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
         if s1 not in a_offs or s2 not in a_offs:
             continue
-        arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
+        arm1, arm2 = _arm_inputs_flat(cflat, a_offs, s1, s2)
         c1 = _chunk1(a1, a2, cap)
-        arm1 = [_group_arm1(x, a1 // c1, c1) for x in arm1]
-        t_a = _t_ang(cap)
-        # fwd-only block-rows override (A/B: per-instance overhead vs
-        # VMEM): the forward holds ~25 live pair planes vs the
-        # backward's ~45, so it can afford taller blocks
-        tf = int(_os.environ.get("LAT_ANG_ROWS_FWD", "0"))
-        if tf and nc_pad % tf == 0:
-            t_a = tf
+        arm1 = [_group_flat1(x, a1 // c1, c1) for x in arm1]
         kern = functools.partial(
             _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
             dtype=dtype)
         blk = pl.pallas_call(
             kern,
-            grid=(nc_pad // t_a, a1 // c1),
-            in_specs=[_arm1_spec(cap, c1, t_a)] * 5
-            + [_arm2_spec(cap, a2, t_a)] * 5,
-            out_specs=_arm2_spec(cap, asub, t_a),
-            out_shape=jax.ShapeDtypeStruct((nc_pad, cap, asub), dtype),
+            grid=(n_pad2 // r, a1 // c1),
+            in_specs=[_flat1_spec(c1, r)] * 5
+            + [_flat2_spec(a2, r)] * 5,
+            out_specs=_flat2_spec(asub, r),
+            out_shape=jax.ShapeDtypeStruct((n_pad2, asub), dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(*arm1, *arm2)
-        pieces[ch0] = blk[:nc][cell, slot]
-    n = cell.shape[0]
+        pieces[ch0] = blk[:n]
     zero_blk = None
     cols = []
     for pair_i in range(spec.num_pairs):
@@ -1276,6 +1275,63 @@ def _arm1_spec(cap, c1, t=_T_ROWS):
                         memory_space=pltpu.VMEM)
 
 
+def _flat1_spec(c1, r):
+    """Arm-1 grouped flat rows [n_g, n_pad, c1] -> block [1, r, c1]."""
+    return pl.BlockSpec((1, r, c1), lambda i, g: (g, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _flat2_spec(a, r):
+    """Flat rows [n_pad, a] -> block [r, a]."""
+    return pl.BlockSpec((r, a), lambda i, g: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _r_flat(n):
+    """Rows per flat pair-block instance: fill the ~45-plane * [r, 128]
+    VMEM stack budget (cf. _t_ang), shrink for small systems."""
+    r = 256
+    while r > 8 and r >= 2 * n:
+        r //= 2
+    return r
+
+
+def _pad_rows2(x, rows, val):
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)),
+                   constant_values=val)
+
+
+def _group_flat1(x, n_g, c1):
+    """[N, a1] -> [n_g, N, c1] (chunk axis first)."""
+    npad, a1 = x.shape
+    return jnp.moveaxis(x.reshape(npad, n_g, c1), 1, 0)
+
+
+def _compact_to_flat(compact, cell, slot, nc, n, rca, dtype):
+    """Gather the 5 pair-kernel compact quantities [nc_pad, cap, atot]
+    to flat atom rows [n_pad2, atot] (rows = centers, in atom order).
+
+    Pad rows get the parked-slot convention (u=0, d=big, fc=0) so
+    discarded tail rows can't produce non-finite lanes."""
+    r = _r_flat(n)
+    n_pad2 = -(-n // r) * r
+    big = jnp.asarray(2.0 * rca + 10.0, dtype)
+    pads = (0.0, 0.0, 0.0, big, 0.0)
+    return [_pad_rows2(c[:nc][cell, slot], n_pad2, v)
+            for c, v in zip(compact[:5], pads)]
+
+
+def _arm_inputs_flat(cflat, a_offs, s1, s2):
+    npad = cflat[0].shape[0]
+    off1, a1 = a_offs[s1]
+    off2, a2 = a_offs[s2]
+    arm1 = [jax.lax.slice(c, (0, off1), (npad, off1 + a1))
+            for c in cflat]
+    arm2 = [jax.lax.slice(c, (0, off2), (npad, off2 + a2))
+            for c in cflat]
+    return arm1, arm2
+
+
 def _t_ang(cap):
     """Cell rows per pair-block kernel instance: the backward holds ~45
     live [t*cap, 128]-lane pair temps (measured 16.4 MB at 384 rows),
@@ -1296,6 +1352,12 @@ def _ungroup_arm1(x):
     """[n_g, NCp, cap, c1] -> [NCp, cap, a1]."""
     n_g, ncp, cap, c1 = x.shape
     return jnp.moveaxis(x, 0, 2).reshape(ncp, cap, n_g * c1)
+
+
+def _ungroup_flat1(x):
+    """[n_g, N, c1] -> [N, n_g * c1]."""
+    n_g, npad, c1 = x.shape
+    return jnp.moveaxis(x, 0, 1).reshape(npad, n_g * c1)
 
 
 def _arm2_spec(cap, a, t=_T_ROWS):
@@ -1337,48 +1399,56 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
     assert atot <= _LANE - 1, atot
 
     asub = spec.angular_sublength
+    n = cell.shape[0]
 
     def placed(val, off, a):
-        return jnp.pad(val, ((0, 0), (0, 0), (off, atot - off - a)))
+        return jnp.pad(val, ((0, 0), (off, atot - off - a)))
 
+    # flat-row pair-block cotangents (mirror of the forward layout):
+    # ga needs no grid scatter at all, and the per-slot outputs come
+    # back in atom order for ONE gather into the decompact's grid form
+    cflat = _compact_to_flat(compact, cell, slot, nc, n,
+                             spec.angular_cutoff, dtype)
+    n_pad2 = cflat[0].shape[0]
+    r = _r_flat(n)
+    ga_pad = _pad_rows2(ga_flat, n_pad2, 0.0)
     gsum = None
     for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
         if s1 not in a_offs or s2 not in a_offs:
             continue
         off1, a1_ = a_offs[s1]
         off2, a2_ = a_offs[s2]
-        arm1, arm2 = _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap)
-        ga_blk = _pad_rows(_to_grid_rows(
-            inv_bins, jax.lax.dynamic_slice(
-                ga_flat, (0, ch0), (ga_flat.shape[0], asub)), 0.0),
-            nc_pad, 0.0)
+        arm1, arm2 = _arm_inputs_flat(cflat, a_offs, s1, s2)
+        ga_blk = jax.lax.slice(ga_pad, (0, ch0), (n_pad2, ch0 + asub))
         c1 = _chunk1(a1, a2, cap)
         n_g = a1 // c1
-        arm1 = [_group_arm1(x, n_g, c1) for x in arm1]
-        t_a = _t_ang(cap)
+        arm1 = [_group_flat1(x, n_g, c1) for x in arm1]
         kern = functools.partial(
             _block_bwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
             dtype=dtype)
         outs = pl.pallas_call(
             kern,
-            grid=(nc_pad // t_a, n_g),
-            in_specs=[_arm1_spec(cap, c1, t_a)] * 5
-            + [_arm2_spec(cap, a2, t_a)] * 5
-            + [_arm2_spec(cap, asub, t_a)],
-            out_specs=[_arm1_spec(cap, c1, t_a)] * 5
-            + [_arm2_spec(cap, a2, t_a)] * 5,
-            out_shape=[jax.ShapeDtypeStruct((n_g, nc_pad, cap, c1),
+            grid=(n_pad2 // r, n_g),
+            in_specs=[_flat1_spec(c1, r)] * 5
+            + [_flat2_spec(a2, r)] * 5
+            + [_flat2_spec(asub, r)],
+            out_specs=[_flat1_spec(c1, r)] * 5
+            + [_flat2_spec(a2, r)] * 5,
+            out_shape=[jax.ShapeDtypeStruct((n_g, n_pad2, c1),
                                             dtype)] * 5
-            + [jax.ShapeDtypeStruct((nc_pad, cap, a2), dtype)] * 5,
+            + [jax.ShapeDtypeStruct((n_pad2, a2), dtype)] * 5,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary")),
             interpret=interpret,
         )(*arm1, *arm2, ga_blk)
-        contrib = [placed(_ungroup_arm1(o1), off1, a1)
+        contrib = [placed(_ungroup_flat1(o1), off1, a1)
                    + placed(o2, off2, a2)
                    for o1, o2 in zip(outs[:5], outs[5:])]
         gsum = contrib if gsum is None else [a + b for a, b in
                                              zip(gsum, contrib)]
+    # back to grid layout for the window-structured decompact kernel
+    gsum = [_pad_rows(_to_grid_rows(inv_bins, gf[:n], 0.0), nc_pad, 0.0)
+            for gf in gsum]
 
     sh = _wrap_shift_tables(grid, 1, dtype)
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(

@@ -650,27 +650,27 @@ def _compact(spec, caps, present, pxv, pyv, pzv, cx, cy, cz, csv, cap,
 
 
 def _expand_pair(x1, x2, a1, a2):
-    """([T,cap,A1], [T,cap,A2]) -> ([T,cap,A1*A2], [T,cap,A1*A2]).
+    """([..., A1], [..., A2]) -> ([..., A1*A2], [..., A1*A2]).
 
     Built from slices + broadcasts + concats only — Mosaic cannot merge
     trailing vector dims with a reshape."""
-    t, c, _ = x1.shape
+    lead = x1.shape[:-1]
     p1 = jnp.concatenate(
-        [jnp.broadcast_to(x1[:, :, i:i + 1], (t, c, a2))
+        [jnp.broadcast_to(x1[..., i:i + 1], lead + (a2,))
          for i in range(a1)], axis=-1)
     p2 = jnp.concatenate([x2] * a1, axis=-1)
     return p1, p2
 
 
 def _arm_reduce(val, a1, a2, arm):
-    """[T,cap,a1*a2] -> per-slot sums: arm=1 sums each a2-block
-    ([T,cap,a1]); arm=2 sums across blocks ([T,cap,a2])."""
+    """[..., a1*a2] -> per-slot sums: arm=1 sums each a2-block
+    ([..., a1]); arm=2 sums across blocks ([..., a2])."""
     if arm == 2:
-        acc = jnp.zeros(val.shape[:2] + (a2,), val.dtype)
+        acc = jnp.zeros(val.shape[:-1] + (a2,), val.dtype)
         for i in range(a1):
-            acc = acc + val[:, :, i * a2:(i + 1) * a2]
+            acc = acc + val[..., i * a2:(i + 1) * a2]
         return acc
-    pieces = [jnp.sum(val[:, :, i * a2:(i + 1) * a2], axis=-1)[:, :, None]
+    pieces = [jnp.sum(val[..., i * a2:(i + 1) * a2], axis=-1)[..., None]
               for i in range(a1)]
     return jnp.concatenate(pieces, axis=-1)
 
@@ -694,8 +694,8 @@ def _angular_pair_terms(spec, consts, sl1, sl2, a1, a2, same, dtype):
 
     fc12 = fc1p * fc2p
     if same:
-        t, c, q = d1p.shape
-        qi = jax.lax.broadcasted_iota(jnp.int32, (t, c, q), 2)
+        tq = d1p.shape
+        qi = jax.lax.broadcasted_iota(jnp.int32, tq, len(tq) - 1)
         diag = (qi // a2) == (qi % a2)
         fc12 = jnp.where(diag, jnp.zeros((), dtype), fc12)
 
