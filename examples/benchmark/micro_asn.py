@@ -158,12 +158,32 @@ def main():
             lambda q: jnp.sum(apasn.radial_aev_asn(
                 spec, grid_r, b, a, q, box, sec_r)[0] @ w_r))(p),
             pos, bins_r, asn_r)
+    # occupancy tiers: ASN_TIERS="16,8:95000" adds a (H, O) = (16, 8)
+    # tier-0 with 95000 rows ahead of the full-caps last tier (rows =
+    # n - 95000 + margin); empty/unset = untiered
+    tiers = None
+    tiers_env = os.environ.get("ASN_TIERS")
+    if tiers_env:
+        tiers = []
+        for part in tiers_env.split(";"):
+            cs, rows = part.split(":")
+            th, to = (int(x) for x in cs.split(","))
+            caps_t = tuple((th if s == 0 else to) if counts[s] else 0
+                           for s in range(7))
+            tiers.append((caps_t, int(rows)))
+        used = sum(r for _, r in tiers)
+        tiers.append((caps, max(2048, int(
+            (data.n_atoms - used) * 1.3) + 256)))
+        tiers = tuple(tiers)
+        print(f"tiers={tiers}", flush=True)
     if phase in ("all", "angular"):
         timeit("angular fwd", lambda p, b, a: apasn.angular_aev_asn(
-            spec, grid_r, b, a, p, box, sec_r, caps)[0], pos, bins_r, asn_r)
+            spec, grid_r, b, a, p, box, sec_r, caps, tiers=tiers)[0],
+            pos, bins_r, asn_r)
         timeit("angular vjp", lambda p, b, a: jax.grad(
             lambda q: jnp.sum(apasn.angular_aev_asn(
-                spec, grid_r, b, a, q, box, sec_r, caps)[0] @ w_a))(p),
+                spec, grid_r, b, a, q, box, sec_r, caps,
+                tiers=tiers)[0] @ w_a))(p),
             pos, bins_r, asn_r)
     if phase not in ("all", "full"):
         return

@@ -147,6 +147,9 @@ class Simulation:
         self._roll_grid = None  # ops/cell_roll.RollGrid when active
         self._rad_sections = None  # pallas_asn static compact layout
         # (one grid + one assignment serve both asn channels)
+        self._ang_tiers = None  # pallas_asn occupancy tiers
+        # ((caps_t, rows_t), ...): rows whose per-species angular degrees
+        # fit narrower caps run quadratically cheaper pair blocks
         # Cell-roll implementation modes:
         #   "xla"         — XLA roll radial channel + mirror angular
         #   "pallas"      — Pallas radial kernel (coarse grid, shell-1)
@@ -526,6 +529,10 @@ class Simulation:
                 # the measure nlist covers rlist in this mode)
                 sec["rad"] = per_species(
                     mask & (dist < spec.cutoff + self._skin_eff))
+                # full per-row degree matrix for the occupancy-tier search
+                sec["cnt"] = jnp.stack(
+                    [jnp.sum(in_ang & (species_j == s), axis=1)
+                     for s in range(spec.aev.num_species)], axis=1)
             return (per_species(in_ang), nlist.max_count,
                     jnp.max(jnp.sum(in_ang_skin, axis=1)), sec)
 
@@ -593,7 +600,37 @@ class Simulation:
         self.potential = potmod.ANIPotential(
             spec=_dc.replace(spec, angular_caps=caps),
             params=self.potential.params)
+        if asn_mode:
+            self._ang_tiers = self._derive_tiers(
+                np.asarray(sec["cnt"]), caps)
         self._chunk_cache = {}
+
+    def _derive_tiers(self, cnt, caps):
+        """Occupancy tiers for the asn angular pair blocks: rows whose
+        per-species degrees fit tier-0 caps (the bulk — caps sit well
+        above the MEAN degree) run quadratically narrower pair blocks;
+        the rest run the full caps. Tier-0 cap choice minimizes the
+        padded-lane work model over the measured degree matrix
+        (ops/aev_asn.search_tiers); row capacities carry margin because
+        only the LAST tier's capacity is a correctness bound (spill
+        cascades tier-to-tier and is reported in the deficit channel)."""
+        import os as _os
+        from ..ops import aev_asn as apasn
+
+        t_env = int(_os.environ.get("LAT_ANG_TIERS", "2"))
+        min_n = int(_os.environ.get("LAT_ANG_TIER_MIN_N", "4096"))
+        if t_env < 2 or self.n_atoms < min_n:
+            return None
+        res = apasn.search_tiers(cnt, caps)
+        if res is None:
+            return None
+        caps0, n0 = res
+        m0 = float(_os.environ.get("LAT_TIER0_MARGIN", "1.06"))
+        m1 = float(_os.environ.get("LAT_TIER_ROWS_MARGIN", "1.3"))
+        n = self.n_atoms
+        rows0 = min(int(n0 * m0) + 64, n)
+        rows1 = min(int((n - n0) * m1) + 256, n)
+        return ((tuple(caps0), rows0), (tuple(caps), rows1))
 
     def _angular_overflow(self, pos, box, nlist):
         """[] bool: any per-species angular degree exceeds the static caps."""
@@ -679,7 +716,8 @@ class Simulation:
         the mirror path (the oracle)."""
         if self._pallas_asn and bins is not None:
             rbins, rasn = bins
-            asn_state = (self._roll_grid, rbins, rasn, self._rad_sections)
+            asn_state = (self._roll_grid, rbins, rasn, self._rad_sections,
+                         self._ang_tiers)
             pe_h, f_h, w_h, deficit = potmod.energy_forces_virial_asn(
                 self.potential, self.species, pos, box, asn_state,
                 species_counts=self.species_counts)
@@ -981,13 +1019,24 @@ class Simulation:
                     import dataclasses as _dc
                     dv = np.asarray(jax.device_get(ang_deficit))
                     spec = self.potential.spec
+                    ns = spec.aev.num_species
                     caps = tuple(
                         c if (c == 0 or d <= 0)
                         else c + max(4, -(-int(d) // 4) * 4)
-                        for c, d in zip(spec.angular_caps, dv))
-                    self.potential = potmod.ANIPotential(
-                        spec=_dc.replace(spec, angular_caps=caps),
-                        params=self.potential.params)
+                        for c, d in zip(spec.angular_caps, dv[:ns]))
+                    if caps != spec.angular_caps:
+                        self.potential = potmod.ANIPotential(
+                            spec=_dc.replace(spec, angular_caps=caps),
+                            params=self.potential.params)
+                    if self._ang_tiers is not None:
+                        # trailing deficit entry = rows the LAST tier's
+                        # capacity could not hold; grow that capacity
+                        # (tier-0 spill just cascades, never truncates)
+                        last_caps, last_rows = self._ang_tiers[-1]
+                        if len(dv) > ns and dv[ns] > 0:
+                            last_rows += max(256, int(dv[ns] * 1.5))
+                        self._ang_tiers = self._ang_tiers[:-1] + (
+                            (caps, last_rows),)
                     self._chunk_cache = {}
                 elif ovf["k_max"] or ovf["angular"] or ovf["mirror"]:
                     if ovf["k_max"]:

@@ -422,12 +422,14 @@ def atomic_energies_asn(
     spec = pot.spec
     assert spec.angular_caps is not None, (
         "assignment path needs composition-derived angular_caps")
-    grid, bins, asn, sect = asn_state
+    grid, bins, asn, sect = asn_state[:4]
+    tiers = asn_state[4] if len(asn_state) > 4 else None
     radial, e_rep = apasn.radial_aev_asn(
         spec.aev, grid, bins, asn, pos, box, sect,
         repulsion=spec.repulsion)
     angular, deficit = apasn.angular_aev_asn(
-        spec.aev, grid, bins, asn, pos, box, sect, spec.angular_caps)
+        spec.aev, grid, bins, asn, pos, box, sect, spec.angular_caps,
+        tiers=tiers)
     local_mask = species >= 0
     aev = jnp.concatenate([radial, angular], axis=1)
     aev = jnp.where(local_mask[:, None], aev, 0.0)

@@ -972,21 +972,42 @@ def _block_slots(refs, off, a):
     return vals
 
 
-def _chunk1(a1, a2, cap):
-    """Arm-1 slots per grid instance: sets the pair-lane chunk c1*a2.
+def _chunk1(a1, a2):
+    """(c1, n_g): arm-1 slots per grid instance and instance count.
 
-    Every pair temp is [T, cap, c1*a2] and Mosaic pads the lane dim to
+    Every pair temp is [rows, c1*a2] and Mosaic pads the lane dim to
     128, so any chunk <= 128 lanes occupies the SAME padded stack —
-    filling the vreg is free memory-wise and proportionally faster
-    (measured: the cap-row budget that kept c1*a2 at 24-48 lanes left
-    the VPU at ~20-40% lane utilization). Target the largest c1 with
-    c1*a2 <= 128 that divides a1."""
+    filling the vreg is free memory-wise and proportionally faster.
+    c1 is the largest chunk with c1*a2 <= 128; a1 that c1 does not
+    divide is PADDED up to n_g*c1 with dead lanes (fc = 0), which is
+    cheaper than shrinking c1 to a divisor: e.g. the bench box's
+    (H, O) block at caps (20, 16) ran c1 = 5 (80/128 lanes live, 4
+    instances); padding runs c1 = 8 (128 lanes, 3 instances)."""
     budget = int(_os.environ.get("ASN_CHUNK_LANES", "128"))
-    c1 = max(1, budget // a2)
-    c1 = min(c1, a1)
-    while a1 % c1:
-        c1 -= 1
-    return c1
+    c1 = max(1, min(budget // max(a2, 1), a1))
+    n_g = -(-a1 // c1)
+    return c1, n_g
+
+
+def _block_cost(a1, a2):
+    """Padded-lane VPU cost of one species-pair block per row (the tier
+    search's work model; mirrors _chunk1's chunking)."""
+    c1, n_g = _chunk1(a1, a2)
+    return n_g * (-(-(c1 * a2) // _LANE) * _LANE)
+
+
+_ARM_PADS = (0.0, 0.0, 0.0, None, 0.0)  # ux, uy, uz, d (-> big), fc
+
+
+def _pad_arm1(arm1, a1, c1, n_g, rca, dtype):
+    """Lane-pad the 5 arm-1 quantities from a1 to n_g*c1 dead slots."""
+    w = n_g * c1
+    if w == a1:
+        return arm1
+    big = 2.0 * rca + 10.0
+    return [jnp.pad(x, ((0, 0), (0, w - a1)),
+                    constant_values=(big if v is None else v))
+            for x, v in zip(arm1, _ARM_PADS)]
 
 
 def _slots_from(refs, with_dfc=False, lead=False):
@@ -1204,8 +1225,40 @@ def _angular_compact_call(spec, grid, sections, kpad, caps, interpret,
     return compact, rank2, ovf[0, :spec.num_species], a_offs, atot
 
 
-def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
-                      inv_bins, csp_grid, cell, slot, aidx,
+def _run_fwd_blocks(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
+                    dtype):
+    """Species-pair forward blocks over one tier's row region; returns
+    {channel offset: [rows_t, asub]}."""
+    asub = spec.angular_sublength
+    rca = spec.angular_cutoff
+    pieces = {}
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps_t):
+        if s1 not in a_offs or s2 not in a_offs:
+            continue
+        arm1, arm2 = _arm_inputs_flat(cfl_t, a_offs, s1, s2, a1, a2)
+        c1, n_g = _chunk1(a1, a2)
+        arm1 = _pad_arm1(arm1, a1, c1, n_g, rca, dtype)
+        arm1 = [_group_flat1(x, n_g, c1) for x in arm1]
+        kern = functools.partial(
+            _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
+            dtype=dtype)
+        blk = pl.pallas_call(
+            kern,
+            grid=(rows_t // r, n_g),
+            in_specs=[_flat1_spec(c1, r)] * 5
+            + [_flat2_spec(a2, r)] * 5,
+            out_specs=_flat2_spec(asub, r),
+            out_shape=jax.ShapeDtypeStruct((rows_t, asub), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(*arm1, *arm2)
+        pieces[ch0] = blk
+    return pieces
+
+
+def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
+                      pos, h, inv_bins, csp_grid, cell, slot, aidx,
                       want_compact=False):
     cap = grid.cap
     nc = grid.total
@@ -1220,38 +1273,48 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, interpret, pos, h,
         nc_pad, dtype)
 
     asub = spec.angular_sublength
+    rca = spec.angular_cutoff
     n = cell.shape[0]
     # FLAT-ROW pair blocks: the pair-term kernels are row-independent
     # (each row = one center atom), so they run over gathered flat atom
     # rows instead of the [nc, cap] grid layout — zero dead cap-slot
     # rows (cap sits ~45% above mean occupancy at the bench box), fewer
     # instances, and the per-block output gather disappears.
-    cflat = _compact_to_flat(compact, cell, slot, nc, n,
-                             spec.angular_cutoff, dtype)
+    cflat = _compact_to_flat(compact, cell, slot, nc, n, rca, dtype)
     n_pad2 = cflat[0].shape[0]
     r = _r_flat(n)
-    pieces = {}
-    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
-        if s1 not in a_offs or s2 not in a_offs:
-            continue
-        arm1, arm2 = _arm_inputs_flat(cflat, a_offs, s1, s2)
-        c1 = _chunk1(a1, a2, cap)
-        arm1 = [_group_flat1(x, a1 // c1, c1) for x in arm1]
-        kern = functools.partial(
-            _block_fwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
-            dtype=dtype)
-        blk = pl.pallas_call(
-            kern,
-            grid=(n_pad2 // r, a1 // c1),
-            in_specs=[_flat1_spec(c1, r)] * 5
-            + [_flat2_spec(a2, r)] * 5,
-            out_specs=_flat2_spec(asub, r),
-            out_shape=jax.ShapeDtypeStruct((n_pad2, asub), dtype),
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
-            interpret=interpret,
-        )(*arm1, *arm2)
-        pieces[ch0] = blk[:n]
+    tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
+    if tiers_n is None:
+        pieces = _run_fwd_blocks(spec, caps, a_offs, cflat, n_pad2, r,
+                                 interpret, dtype)
+        pieces = {ch0: blk[:n] for ch0, blk in pieces.items()}
+    else:
+        atot = cflat[0].shape[1]
+        cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
+        pos_of, row_ats, valids, spill = _tier_partition(
+            cnts, sp_order, tiers_n, n)
+        cflat_cat = jnp.concatenate(cflat, axis=1)
+        pad_row = _tier_pad_row(atot, rca, dtype)
+        tier_pieces = []
+        for (caps_t, rows_t), row_at, valid in zip(tiers_n, row_ats,
+                                                   valids):
+            cfl_t = _split_cat(_gather_tier_cat(
+                cflat_cat, row_at, valid, pad_row), atot)
+            tier_pieces.append(_run_fwd_blocks(
+                spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
+                dtype))
+        # concat PRESENT blocks only (columns) and tiers (rows); ONE row
+        # gather returns atom order — absent species pairs (zero columns,
+        # up to 28-choose for 7 species) must not ride the gather.
+        # Spilled rows read garbage, flagged by the deficit below.
+        chans = sorted(tier_pieces[0])
+        cat = jnp.concatenate(
+            [jnp.concatenate([tp[ch0] for tp in tier_pieces], axis=0)
+             for ch0 in chans], axis=1)[pos_of[:n]]
+        pieces = {ch0: jax.lax.slice(cat, (0, i * asub),
+                                     (n, (i + 1) * asub))
+                  for i, ch0 in enumerate(chans)}
+        deficit = jnp.concatenate([deficit, spill.astype(dtype)[None]])
     zero_blk = None
     cols = []
     for pair_i in range(spec.num_pairs):
@@ -1321,15 +1384,216 @@ def _compact_to_flat(compact, cell, slot, nc, n, rca, dtype):
             for c, v in zip(compact[:5], pads)]
 
 
-def _arm_inputs_flat(cflat, a_offs, s1, s2):
+def _arm_inputs_flat(cflat, a_offs, s1, s2, w1=None, w2=None):
+    """Per-arm slices of the flat compact arrays. `w1`/`w2` narrow the
+    slice to a tier's caps: stage-2 packs each section from its start,
+    so the first w lanes of a section hold ALL neighbors of any row
+    whose per-species degree fits the tier."""
     npad = cflat[0].shape[0]
     off1, a1 = a_offs[s1]
     off2, a2 = a_offs[s2]
-    arm1 = [jax.lax.slice(c, (0, off1), (npad, off1 + a1))
+    w1 = a1 if w1 is None else w1
+    w2 = a2 if w2 is None else w2
+    arm1 = [jax.lax.slice(c, (0, off1), (npad, off1 + w1))
             for c in cflat]
-    arm2 = [jax.lax.slice(c, (0, off2), (npad, off2 + a2))
+    arm2 = [jax.lax.slice(c, (0, off2), (npad, off2 + w2))
             for c in cflat]
     return arm1, arm2
+
+
+# ---------------------------------------------------------------------------
+# Occupancy-tiered row dispatch
+#
+# The pair-block kernels pad every row's arm lanes to the species caps —
+# at the bench box the caps sit ~1.6-3x the MEAN per-species degree, so
+# most pair lanes are dead (quadratically: ~2x total). Tiers fix this:
+# rows whose per-species degrees fit smaller "tier" caps run pair blocks
+# with statically narrower arms. Rows are partitioned per step by their
+# stage-2 counts (prefix packing makes narrower slices exact), placed
+# into fixed-capacity tier regions, and gathered back — all with
+# cumsum/searchsorted + gathers, no scatters. Spill cascades to the next
+# tier (bigger caps are always correct); only the LAST tier's row
+# capacity is a correctness bound, reported in the deficit channel.
+# ---------------------------------------------------------------------------
+
+
+def search_tiers(cnt, caps):
+    """Host-side tier-0 cap search over the measured per-row degree
+    matrix `cnt` [n, num_species] (int): minimize the padded-lane
+    pair-block work model (fit rows run tier-0 caps, the rest the full
+    `caps`). Returns (caps0 full-length tuple, fit_count) or None when
+    tiering isn't worth the dispatch overhead."""
+    import itertools as _it
+
+    caps = tuple(int(c) for c in caps)
+    present = [s for s in range(len(caps)) if caps[s] > 0]
+    if not present:
+        return None
+    cnt = np.asarray(cnt)
+    n = cnt.shape[0]
+
+    def work(cp):
+        return sum(_block_cost(cp[s1], cp[s2])
+                   for i, s1 in enumerate(present)
+                   for s2 in present[i:])
+
+    w_full = work(caps)
+    if len(present) > 4:
+        # joint search blows up combinatorially; one robust quantile cut
+        caps0 = tuple(
+            min(caps[s], max(4, -(-int(np.percentile(cnt[:, s], 97))
+                                  // 4) * 4)) if caps[s] else 0
+            for s in range(len(caps)))
+        combos = [caps0]
+    else:
+        cands = {s: list(range(4, caps[s] + 1, 4)) for s in present}
+        combos = [tuple(dict(zip(present, combo)).get(s, 0)
+                        for s in range(len(caps)))
+                  for combo in _it.product(*(cands[s] for s in present))]
+    best = None
+    for cp in combos:
+        fit = np.ones(n, bool)
+        for s in present:
+            fit &= cnt[:, s] <= cp[s]
+        n0 = int(fit.sum())
+        cost = 1.05 * n0 * work(cp) + 1.1 * (n - n0) * w_full
+        if best is None or cost < best[0]:
+            best = (cost, cp, n0)
+    cost, cp, n0 = best
+    if cp == caps or cost / (n * w_full) > 0.92:
+        return None
+    return cp, n0
+
+
+def _norm_tiers(tiers, caps, r, n_pad2):
+    """Static tier layout ((caps_t, rows_t), ...): clamp tier caps into
+    [4, caps] (uniform block sets across tiers), round row capacities to
+    the flat row block, force the last tier to the full caps."""
+    if not tiers or len(tiers) < 2:
+        return None
+
+    def rows(x):
+        return max(r, min(-(-int(x) // r) * r, n_pad2))
+
+    out = []
+    for caps_t, rows_t in tiers[:-1]:
+        eff = tuple(min(max(int(ct), 4), int(c)) if c else 0
+                    for ct, c in zip(caps_t, caps))
+        out.append((eff, rows(rows_t)))
+    out.append((tuple(int(c) for c in caps), rows(tiers[-1][1])))
+    return tuple(out)
+
+
+def _row_counts(cd_flat, a_offs, rca):
+    """Per-row per-section within-cutoff counts from the packed compact
+    distances (live lanes are <= Rca by stage-2, dead lanes parked at
+    2*Rca + 10)."""
+    cols, order = [], []
+    for s, (off, a_s) in a_offs.items():
+        c = jnp.sum((cd_flat[:, off:off + a_s] < rca + 1.0)
+                    .astype(jnp.int32), axis=1)
+        cols.append(c)
+        order.append(s)
+    return jnp.stack(cols, axis=1), tuple(order)
+
+
+def _tier_partition(cnts, sp_order, tiers, n):
+    """Partition flat atom rows into tier regions.
+
+    Returns (pos_of [n_pad2] destination row in the concatenated tier
+    regions, per-tier gather rows row_at [rows_t], per-tier valid masks,
+    spill = rows the last tier's capacity could not hold). Rows that
+    outgrow a tier's caps — or its row capacity — fall through to the
+    next tier (whose caps are wider, so the result stays exact).
+
+    Everything runs on [chunks, 128] 2-D int32 shapes: 1-D int arrays
+    land in TPU scalar space, where a first-cut jnp.searchsorted inverse
+    measured ~23 ms/step. The inverse here is scatter/search-free: the
+    global inclusive taken-count G increments exactly at taken rows, so
+    the q-th taken row is the first position with G == q; its chunk is
+    #{k: chunk_cumsum[k] < q} (a fused compare-sum over the ~n/128-entry
+    chunk table), and its lane a min-reduce over one gathered G row."""
+    n_pad2 = cnts.shape[0]
+    nchunk = n_pad2 // _LANE
+    lane = jnp.arange(_LANE, dtype=jnp.int32)[None, :]
+    iota2 = jnp.arange(nchunk, dtype=jnp.int32)[:, None] * _LANE + lane
+    real = iota2 < n
+    cnts2 = [cnts[:, j].reshape(nchunk, _LANE)
+             for j in range(cnts.shape[1])]
+    assigned = jnp.zeros((nchunk, _LANE), bool)
+    pos_of = jnp.zeros((nchunk, _LANE), jnp.int32)
+    row_ats, valids = [], []
+    base = 0
+    spill = jnp.zeros((), jnp.int32)
+    last = len(tiers) - 1
+    for t, (caps_t, rows_t) in enumerate(tiers):
+        fits = real & ~assigned
+        if t != last:
+            for j, s in enumerate(sp_order):
+                fits = fits & (cnts2[j] <= caps_t[s])
+        f_i = fits.astype(jnp.int32)
+        f_sum = jnp.sum(f_i, axis=1)
+        rank = ((jnp.cumsum(f_sum) - f_sum)[:, None]
+                + jnp.cumsum(f_i, axis=1) - f_i)  # exclusive global rank
+        take = fits & (rank < rows_t)
+        pos_of = jnp.where(take, base + rank, pos_of)
+        t_i = take.astype(jnp.int32)
+        t_sum = jnp.sum(t_i, axis=1)
+        cumt = jnp.cumsum(t_sum)  # [nchunk] inclusive per-chunk counts
+        g_t = (cumt - t_sum)[:, None] + jnp.cumsum(t_i, axis=1)
+        total = cumt[nchunk - 1]
+        qr = rows_t // _LANE
+        q2 = (jnp.arange(qr, dtype=jnp.int32)[:, None] * _LANE + lane
+              + 1)  # 1-based destination ranks
+        # two-level chunk bisect: the flat compare-sum over all nchunk
+        # (~n/128) entries materializes a [qr, 128, nchunk] temp
+        # (~300 MB / ~7 ms per call at the bench box); search 128-entry
+        # super-chunk boundaries first, then one gathered super row
+        ns = -(-nchunk // _LANE)
+        cumt_p = jnp.pad(cumt, (0, ns * _LANE - nchunk),
+                         constant_values=np.iinfo(np.int32).max)
+        cumt_p = cumt_p.reshape(ns, _LANE)
+        j_sup = jnp.sum((q2[:, :, None] > cumt_p[None, None, :, -1])
+                        .astype(jnp.int32), axis=-1)
+        j_sup = jnp.minimum(j_sup, ns - 1)
+        sub = cumt_p[j_sup]  # [qr, 128, 128]
+        j_in = jnp.sum((q2[:, :, None] > sub).astype(jnp.int32), axis=-1)
+        jq = jnp.minimum(j_sup * _LANE + j_in, nchunk - 1)
+        rows_g = g_t[jq]  # [qr, 128, 128] row gather (vector path)
+        hit = rows_g == q2[:, :, None]
+        li = jax.lax.broadcasted_iota(jnp.int32, rows_g.shape, 2)
+        lane_src = jnp.min(jnp.where(hit, li, _LANE), axis=2)
+        src = jq * _LANE + jnp.minimum(lane_src, _LANE - 1)
+        valid = q2 <= total
+        row_ats.append(jnp.where(valid, src, 0).reshape(rows_t))
+        valids.append(valid.reshape(rows_t))
+        assigned = assigned | take
+        if t == last:
+            spill = jnp.sum(f_i) - total
+        base += rows_t
+    return pos_of.reshape(n_pad2), row_ats, valids, spill
+
+
+def _tier_pad_row(atot, rca, dtype):
+    """Dead-row value for the 5 concatenated quantities [5*atot]."""
+    big = 2.0 * rca + 10.0
+    vals = np.zeros(5 * atot, np.float64)
+    vals[3 * atot:4 * atot] = big
+    return jnp.asarray(vals, dtype)
+
+
+def _gather_tier_cat(cflat_cat, row_at, valid, pad_row):
+    """One wide row-gather brings a tier's rows in (5 quantities stay
+    concatenated — wider rows amortize the gather's tile granularity);
+    invalid rows get the dead-slot convention."""
+    g = cflat_cat[row_at]
+    return jnp.where(valid[:, None], g, pad_row[None, :])
+
+
+def _split_cat(cat, atot):
+    return [jax.lax.slice(cat, (0, i * atot), (cat.shape[0],
+                                               (i + 1) * atot))
+            for i in range(5)]
 
 
 def _t_ang(cap):
@@ -1378,16 +1642,81 @@ def _arm_inputs(compact, a_offs, s1, s2, nc_pad, cap, with_dfc=False):
     return arm1, arm2
 
 
-def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
-                          inv_bins, cell, slot, aidx, ainv, compact, rank2,
-                          ga_flat):
+def _r_bwd(r, c1):
+    """Backward rows per block: the bwd kernel's arm-reduce temp chains
+    scale with c1 (Mosaic's stack allocator never reuses slots), so large
+    chunks must trade row count for stack. Model fit through two measured
+    stacks at r=256 — 16.12 MB at c1=8 and 23.7 MB at c1=16, i.e.
+    ~56 + 8.4*c1 live [r, 128] planes — against the 16 MB scoped-vmem
+    limit (kept at 15 MB for headroom)."""
+    while r > 8 and r * 512 * (56 + 8.4 * c1) > 15 * 2 ** 20:
+        r //= 2
+    return r
+
+
+def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
+                    rows_t, r, interpret, dtype):
+    """Species-pair backward blocks over one tier's row region; returns
+    the 5 per-slot cotangent sums [rows_t, atot] on the packed A axis.
+    `ga_off` maps a block's channel offset to its column in ga_t (tiers
+    carry only the present blocks' cotangent columns)."""
+    asub = spec.angular_sublength
+    rca = spec.angular_cutoff
+
+    def placed(val, off, a):
+        return jnp.pad(val, ((0, 0), (off, atot - off - a)))
+
+    gsum = None
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps_t):
+        if s1 not in a_offs or s2 not in a_offs:
+            continue
+        off1 = a_offs[s1][0]
+        off2 = a_offs[s2][0]
+        arm1, arm2 = _arm_inputs_flat(cfl_t, a_offs, s1, s2, a1, a2)
+        go = ga_off[ch0]
+        ga_blk = jax.lax.slice(ga_t, (0, go), (rows_t, go + asub))
+        c1, n_g = _chunk1(a1, a2)
+        arm1 = _pad_arm1(arm1, a1, c1, n_g, rca, dtype)
+        arm1 = [_group_flat1(x, n_g, c1) for x in arm1]
+        rb = _r_bwd(r, c1)
+        kern = functools.partial(
+            _block_bwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
+            dtype=dtype)
+        outs = pl.pallas_call(
+            kern,
+            grid=(rows_t // rb, n_g),
+            in_specs=[_flat1_spec(c1, rb)] * 5
+            + [_flat2_spec(a2, rb)] * 5
+            + [_flat2_spec(asub, rb)],
+            out_specs=[_flat1_spec(c1, rb)] * 5
+            + [_flat2_spec(a2, rb)] * 5,
+            out_shape=[jax.ShapeDtypeStruct((n_g, rows_t, c1),
+                                            dtype)] * 5
+            + [jax.ShapeDtypeStruct((rows_t, a2), dtype)] * 5,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(*arm1, *arm2, ga_blk)
+        # drop arm-1 pad-lane cotangents (dead slots by construction)
+        contrib = [placed(_ungroup_flat1(o1)[:, :a1], off1, a1)
+                   + placed(o2, off2, a2)
+                   for o1, o2 in zip(outs[:5], outs[5:])]
+        gsum = contrib if gsum is None else [a + b for a, b in
+                                             zip(gsum, contrib)]
+    return gsum
+
+
+def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
+                          interpret, inv_bins, cell, slot, aidx, ainv,
+                          compact, rank2, ga_flat):
     """Backward from the forward's saved compact/rank2 arrays.
 
     The compact quantities and the stage-2 rank map are HBM outputs the
     forward materializes anyway, so saving them as VJP residuals deletes
     the entire re-compaction (position row gathers, window geometry
     gathers, cumsum-bisect) from the backward — it needs no positions at
-    all."""
+    all. The tier partition is recomputed from the saved compact
+    distances (integer cumsum/bisect on identical inputs: exact)."""
     cap = grid.cap
     nc = grid.total
     dtype = compact[0].dtype
@@ -1398,56 +1727,54 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
     a_offs, atot = _a_offsets(sections, caps)
     assert atot <= _LANE - 1, atot
 
-    asub = spec.angular_sublength
+    rca = spec.angular_cutoff
     n = cell.shape[0]
-
-    def placed(val, off, a):
-        return jnp.pad(val, ((0, 0), (off, atot - off - a)))
 
     # flat-row pair-block cotangents (mirror of the forward layout):
     # ga needs no grid scatter at all, and the per-slot outputs come
     # back in atom order for ONE gather into the decompact's grid form
-    cflat = _compact_to_flat(compact, cell, slot, nc, n,
-                             spec.angular_cutoff, dtype)
+    cflat = _compact_to_flat(compact, cell, slot, nc, n, rca, dtype)
     n_pad2 = cflat[0].shape[0]
     r = _r_flat(n)
-    ga_pad = _pad_rows2(ga_flat, n_pad2, 0.0)
-    gsum = None
-    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
-        if s1 not in a_offs or s2 not in a_offs:
-            continue
-        off1, a1_ = a_offs[s1]
-        off2, a2_ = a_offs[s2]
-        arm1, arm2 = _arm_inputs_flat(cflat, a_offs, s1, s2)
-        ga_blk = jax.lax.slice(ga_pad, (0, ch0), (n_pad2, ch0 + asub))
-        c1 = _chunk1(a1, a2, cap)
-        n_g = a1 // c1
-        arm1 = [_group_flat1(x, n_g, c1) for x in arm1]
-        kern = functools.partial(
-            _block_bwd_kernel, spec=spec, c1=c1, a2=a2, same=same,
-            dtype=dtype)
-        outs = pl.pallas_call(
-            kern,
-            grid=(n_pad2 // r, n_g),
-            in_specs=[_flat1_spec(c1, r)] * 5
-            + [_flat2_spec(a2, r)] * 5
-            + [_flat2_spec(asub, r)],
-            out_specs=[_flat1_spec(c1, r)] * 5
-            + [_flat2_spec(a2, r)] * 5,
-            out_shape=[jax.ShapeDtypeStruct((n_g, n_pad2, c1),
-                                            dtype)] * 5
-            + [jax.ShapeDtypeStruct((n_pad2, a2), dtype)] * 5,
-            compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("arbitrary", "arbitrary")),
-            interpret=interpret,
-        )(*arm1, *arm2, ga_blk)
-        contrib = [placed(_ungroup_flat1(o1), off1, a1)
-                   + placed(o2, off2, a2)
-                   for o1, o2 in zip(outs[:5], outs[5:])]
-        gsum = contrib if gsum is None else [a + b for a, b in
-                                             zip(gsum, contrib)]
+    tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
+    asub = spec.angular_sublength
+    if tiers_n is None:
+        ga_pad = _pad_rows2(ga_flat, n_pad2, 0.0)
+        ga_off = {pb[4]: pb[4] for pb in _pair_blocks(spec, caps)}
+        gsum = [gf[:n] for gf in _run_bwd_blocks(
+            spec, caps, a_offs, atot, cflat, ga_pad, ga_off, n_pad2, r,
+            interpret, dtype)]
+    else:
+        cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
+        pos_of, row_ats, valids, _ = _tier_partition(
+            cnts, sp_order, tiers_n, n)
+        # present blocks' cotangent columns only, concatenated — the
+        # tier row-gathers must not move the absent pairs' zero columns
+        chans = sorted(pb[4] for pb in _pair_blocks(spec, caps)
+                       if pb[0] in a_offs and pb[1] in a_offs)
+        ga_off = {ch0: i * asub for i, ch0 in enumerate(chans)}
+        ga_cat = _pad_rows2(jnp.concatenate(
+            [jax.lax.slice(ga_flat, (0, ch0), (n, ch0 + asub))
+             for ch0 in chans], axis=1), n_pad2, 0.0)
+        cflat_cat = jnp.concatenate(cflat, axis=1)
+        pad_row = _tier_pad_row(atot, rca, dtype)
+        parts = []
+        for (caps_t, rows_t), row_at, valid in zip(tiers_n, row_ats,
+                                                   valids):
+            cfl_t = _split_cat(_gather_tier_cat(
+                cflat_cat, row_at, valid, pad_row), atot)
+            ga_t = jnp.where(valid[:, None], ga_cat[row_at], 0.0)
+            parts.append(_run_bwd_blocks(
+                spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off, rows_t,
+                r, interpret, dtype))
+        # concat quantities (cols) and tiers (rows); ONE row gather back
+        # to atom order, then split
+        gcat = jnp.concatenate(
+            [jnp.concatenate([p[qi] for p in parts], axis=0)
+             for qi in range(5)], axis=1)[pos_of[:n]]
+        gsum = _split_cat(gcat, atot)
     # back to grid layout for the window-structured decompact kernel
-    gsum = [_pad_rows(_to_grid_rows(inv_bins, gf[:n], 0.0), nc_pad, 0.0)
+    gsum = [_pad_rows(_to_grid_rows(inv_bins, gf, 0.0), nc_pad, 0.0)
             for gf in gsum]
 
     sh = _wrap_shift_tables(grid, 1, dtype)
@@ -1484,27 +1811,29 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, interpret,
     return dpos, dh_pad[:3, :3]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _angular_asn_flat(spec, grid, sections, kpad, caps, interpret, pos, h,
-                      inv_bins, csp_grid, cell, slot, aidx, ainv):
-    return _angular_asn_impl(spec, grid, sections, kpad, caps, interpret,
-                             pos, h, inv_bins, csp_grid, cell, slot, aidx)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _angular_asn_flat(spec, grid, sections, kpad, caps, tiers, interpret,
+                      pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
+    return _angular_asn_impl(spec, grid, sections, kpad, caps, tiers,
+                             interpret, pos, h, inv_bins, csp_grid, cell,
+                             slot, aidx)
 
 
-def _angular_asn_fwd(spec, grid, sections, kpad, caps, interpret, pos, h,
-                     inv_bins, csp_grid, cell, slot, aidx, ainv):
+def _angular_asn_fwd(spec, grid, sections, kpad, caps, tiers, interpret,
+                     pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
     out, (compact, rank2) = _angular_asn_impl(
-        spec, grid, sections, kpad, caps, interpret, pos, h, inv_bins,
-        csp_grid, cell, slot, aidx, want_compact=True)
+        spec, grid, sections, kpad, caps, tiers, interpret, pos, h,
+        inv_bins, csp_grid, cell, slot, aidx, want_compact=True)
     return out, (inv_bins, cell, slot, aidx, ainv, compact, rank2)
 
 
-def _angular_asn_bwd(spec, grid, sections, kpad, caps, interpret, res, g):
+def _angular_asn_bwd(spec, grid, sections, kpad, caps, tiers, interpret,
+                     res, g):
     ga, _ = g
     inv_bins, cell, slot, aidx, ainv, compact, rank2 = res
     dpos, dh = _angular_asn_bwd_impl(
-        spec, grid, sections, kpad, caps, interpret, inv_bins, cell, slot,
-        aidx, ainv, compact, rank2, ga)
+        spec, grid, sections, kpad, caps, tiers, interpret, inv_bins,
+        cell, slot, aidx, ainv, compact, rank2, ga)
     return dpos, dh, None, None, None, None, None, None
 
 
@@ -1512,7 +1841,7 @@ _angular_asn_flat.defvjp(_angular_asn_fwd, _angular_asn_bwd)
 
 
 def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
-                    interpret=None):
+                    tiers=None, interpret=None):
     """([n, angular_length], deficit) over a frozen assignment.
 
     `sections`/`asn` may be any assignment whose keep radius covers
@@ -1520,11 +1849,20 @@ def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
     coarse grid, one build; stage-2 re-compacts within-Rca lanes per
     step anyway). `caps` are the per-step within-cutoff capacities
     (ANISpec.angular_caps). deficit > 0 means a cap truncated real
-    neighbors THIS step."""
+    neighbors THIS step.
+
+    `tiers` (static, optional): occupancy tiers ((caps_t, rows_t), ...)
+    dispatching rows whose per-species degrees fit narrower caps to
+    proportionally cheaper pair blocks; the last tier always runs the
+    full `caps`. When tiered, the deficit gains one trailing entry: the
+    number of rows the last tier's row capacity could not hold (grow
+    rows_t and retry, same contract as the per-species entries)."""
     if interpret is None:
         interpret = _interpret_default()
     kpad = asn.idx.shape[-1]
+    tiers_t = (tuple((tuple(c), int(rw)) for c, rw in tiers)
+               if tiers else None)
     return _angular_asn_flat(aev_spec, grid, sections, kpad, tuple(caps),
-                             interpret, pos, box.h, bins.inv,
+                             tiers_t, interpret, pos, box.h, bins.inv,
                              bins.species_grid, bins.cell, bins.slot,
                              asn.idx, asn.inv)

@@ -410,3 +410,104 @@ def test_simulation_asn_regrows_undersized_capacities(monkeypatch):
     assert all(k > 8 for _, k in sim._rad_sections)
     np.testing.assert_allclose(sim.positions_input_order(st), p_ref,
                                atol=1e-10)
+
+
+def test_asn_angular_tiered_matches_untiered():
+    """Occupancy-tiered pair blocks are an exact re-dispatch, not an
+    approximation: rows whose per-species degrees fit the tier-0 caps
+    lose only dead lanes (stage-2 packs each section from its start), so
+    tiered output and gradients must match the untiered path."""
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    n = pos.shape[0]
+    caps0 = tuple(max(4, c - 4) if c else 0 for c in caps)
+    tiers = ((caps0, n // 2), (caps, n))
+
+    got_u, d_u = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos, box, sections, caps, interpret=True)
+    got_t, d_t = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos, box, sections, caps, tiers=tiers,
+        interpret=True)
+    assert d_t.shape[0] == d_u.shape[0] + 1
+    assert float(d_t[-1]) <= 0, "last tier spilled in a sized test"
+    np.testing.assert_allclose(np.asarray(d_t[:-1]), np.asarray(d_u))
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(got_u),
+                               atol=1e-12, rtol=0)
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (spec.angular_length,),
+                          jnp.float64)
+
+    def e(p, h, tr):
+        b = nbops.Box(h=h, origin=box.origin)
+        out, _ = apasn.angular_aev_asn(spec, grid, bins, asn, p, b,
+                                       sections, caps, tiers=tr,
+                                       interpret=True)
+        return jnp.sum(out @ w)
+
+    g_u, gh_u = jax.grad(e, argnums=(0, 1))(pos, box.h, None)
+    g_t, gh_t = jax.grad(e, argnums=(0, 1))(pos, box.h, tiers)
+    np.testing.assert_allclose(np.asarray(g_t), np.asarray(g_u),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gh_t), np.asarray(gh_u),
+                               atol=1e-12)
+
+
+def test_asn_angular_tier_spill_reports_deficit():
+    """Rows beyond the LAST tier's row capacity cannot cascade anywhere:
+    the trailing deficit entry must report them (run() grows the
+    capacity and retries, same contract as the per-species entries)."""
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    caps0 = tuple(4 if c else 0 for c in caps)
+    tiers = ((caps0, 8), (caps, 8))  # both rounded up to the row block
+    _, deficit = apasn.angular_aev_asn(
+        spec, grid, bins, asn, pos, box, sections, caps, tiers=tiers,
+        interpret=True)
+    assert float(deficit[-1]) > 0
+    # the per-species caps themselves did not truncate
+    assert float(jnp.max(deficit[:-1])) <= 0
+
+
+def test_simulation_asn_tiered_regrows_and_matches_mirror(monkeypatch):
+    """Tiered dispatch through the production driver: an undersized
+    last-tier row capacity must regrow (not die), and the recovered
+    trajectory must match the mirror-path engine."""
+    from lammps_ani_tpu.models import zoo
+
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        3, 3, 3)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+
+    def run(impl, tiered):
+        monkeypatch.setenv("LAT_ROLL_IMPL", impl)
+        sim = lat.Simulation(
+            potential=pot, species=data.species,
+            masses=data.masses_by_type[data.species],
+            nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                                   k_max=160, ghost_capacity=8192,
+                                   rebuild_every=2),
+            dt=0.2, dtype=jnp.float64,
+            cellroll=impl.startswith("pallas"))
+        box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                      origin=jnp.asarray(data.box_origin, jnp.float64))
+        st = sim.init_state(data.positions, box, temp=300.0, seed=11)
+        if tiered:
+            caps = sim.potential.spec.angular_caps
+            caps0 = tuple(max(4, c - 4) if c else 0 for c in caps)
+            # tier-0 capped at 256 rows (of 810): real spill into the
+            # last tier, whose 64-row capacity is deliberately too small
+            sim._ang_tiers = ((caps0, 256), (caps, 64))
+            sim._chunk_cache = {}
+        st, rows = sim.run(st, 4, thermo_every=2)
+        if tiered:
+            assert sim.regrow_events >= 1, "undersized tier never regrew"
+            assert sim._ang_tiers[-1][1] > 64
+        return (sim.positions_input_order(st), float(st.pe),
+                np.asarray(st.virial))
+
+    p_t, e_t, w_t = run("pallas_asn", True)
+    p_ref, e_ref, w_ref = run("mirror-off", False)
+    np.testing.assert_allclose(e_t, e_ref, rtol=1e-11)
+    np.testing.assert_allclose(p_t, p_ref, atol=1e-10)
+    np.testing.assert_allclose(w_t, w_ref, atol=1e-8)
