@@ -1284,6 +1284,7 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
     n_pad2 = cflat[0].shape[0]
     r = _r_flat(n)
     tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
+    part = None
     if tiers_n is None:
         pieces = _run_fwd_blocks(spec, caps, a_offs, cflat, n_pad2, r,
                                  interpret, dtype)
@@ -1293,6 +1294,7 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
         cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
         pos_of, row_ats, valids, spill = _tier_partition(
             cnts, sp_order, tiers_n, n)
+        part = (pos_of, tuple(row_ats), tuple(valids))
         cflat_cat = jnp.concatenate(cflat, axis=1)
         pad_row = _tier_pad_row(atot, rca, dtype)
         tier_pieces = []
@@ -1327,7 +1329,7 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
             cols.append(zero_blk)
     out = jnp.concatenate(cols, axis=1), deficit
     if want_compact:
-        return out, (compact, rank2)
+        return out, (compact, rank2, part)
     return out
 
 
@@ -1708,15 +1710,16 @@ def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
 
 def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
                           interpret, inv_bins, cell, slot, aidx, ainv,
-                          compact, rank2, ga_flat):
+                          compact, rank2, ga_flat, part=None):
     """Backward from the forward's saved compact/rank2 arrays.
 
     The compact quantities and the stage-2 rank map are HBM outputs the
     forward materializes anyway, so saving them as VJP residuals deletes
     the entire re-compaction (position row gathers, window geometry
     gathers, cumsum-bisect) from the backward — it needs no positions at
-    all. The tier partition is recomputed from the saved compact
-    distances (integer cumsum/bisect on identical inputs: exact)."""
+    all. The tier partition also rides the residuals (`part`); absent,
+    it is recomputed from the saved compact distances (integer
+    cumsum/bisect on identical inputs: exact)."""
     cap = grid.cap
     nc = grid.total
     dtype = compact[0].dtype
@@ -1745,9 +1748,15 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
             spec, caps, a_offs, atot, cflat, ga_pad, ga_off, n_pad2, r,
             interpret, dtype)]
     else:
-        cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
-        pos_of, row_ats, valids, _ = _tier_partition(
-            cnts, sp_order, tiers_n, n)
+        if part is not None:
+            # the forward's partition rides the residuals (same inputs
+            # would reproduce it exactly; saving skips the counts +
+            # cumsum/bisect recompute — the arrays are n-sized int32)
+            pos_of, row_ats, valids = part
+        else:
+            cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
+            pos_of, row_ats, valids, _ = _tier_partition(
+                cnts, sp_order, tiers_n, n)
         # present blocks' cotangent columns only, concatenated — the
         # tier row-gathers must not move the absent pairs' zero columns
         chans = sorted(pb[4] for pb in _pair_blocks(spec, caps)
@@ -1821,19 +1830,19 @@ def _angular_asn_flat(spec, grid, sections, kpad, caps, tiers, interpret,
 
 def _angular_asn_fwd(spec, grid, sections, kpad, caps, tiers, interpret,
                      pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
-    out, (compact, rank2) = _angular_asn_impl(
+    out, (compact, rank2, part) = _angular_asn_impl(
         spec, grid, sections, kpad, caps, tiers, interpret, pos, h,
         inv_bins, csp_grid, cell, slot, aidx, want_compact=True)
-    return out, (inv_bins, cell, slot, aidx, ainv, compact, rank2)
+    return out, (inv_bins, cell, slot, aidx, ainv, compact, rank2, part)
 
 
 def _angular_asn_bwd(spec, grid, sections, kpad, caps, tiers, interpret,
                      res, g):
     ga, _ = g
-    inv_bins, cell, slot, aidx, ainv, compact, rank2 = res
+    inv_bins, cell, slot, aidx, ainv, compact, rank2, part = res
     dpos, dh = _angular_asn_bwd_impl(
         spec, grid, sections, kpad, caps, tiers, interpret, inv_bins,
-        cell, slot, aidx, ainv, compact, rank2, ga)
+        cell, slot, aidx, ainv, compact, rank2, ga, part=part)
     return dpos, dh, None, None, None, None, None, None
 
 
