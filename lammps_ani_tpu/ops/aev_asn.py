@@ -397,6 +397,35 @@ def _t_cells(cap, wpad):
     return t
 
 
+def _t_env(name, t):
+    v = _os.environ.get(name)
+    return int(v) if v else t
+
+
+def _t_chain(cap, kpad, nc_pad):
+    """Cell rows per chain/assemble kernel instance (kpad-wide temps
+    only: gvx/gvy/gvz + per-chunk stage-2 and dh gather temps — modeled
+    at ~30 live [row, kpad] f32 planes, conservative until a measured
+    stack calibrates it)."""
+    t = 32
+    while t > 1 and (t * cap * kpad * 4 * 30 >= 13 * 2 ** 20
+                     or t > nc_pad):
+        t //= 2
+    return _t_env("ASN_T_CHAIN", t)
+
+
+def _t_wing(cap, kpad, wpad, nc_pad):
+    """Cell rows per wing kernel instance. The streamed form keeps, per
+    row: inv [wpad] i32, 3 src [kpad] f32, and per-out-chunk temps that
+    Mosaic's no-reuse stack allocator makes live simultaneously across
+    all wpad/128 chunks (~5 [128] planes each)."""
+    bpr = 4 * (wpad + 3 * kpad + (wpad // _LANE) * 5 * _LANE)
+    t = 16
+    while t > 1 and (t * cap * bpr >= 13 * 2 ** 20 or t > nc_pad):
+        t //= 2
+    return _t_env("ASN_T_WING", t)
+
+
 def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
                      interpret=None):
     """Assignment over grid's 27-cell window for lanes within keep_radius.
@@ -1130,14 +1159,17 @@ def _block_bwd_kernel(*refs, spec, c1, a2, same, dtype):
         ref[...] = ref[...] + _arm_reduce(val, c1, a2, 2)
 
 
-def _decompact_asn_kernel(rank_r, inv_r, idxr, cux, cuy, cuz, cd, cfc,
-                          cdfc, gux, guy, guz, gd, gfc, sh,
-                          fcen, wing, dh,
-                          *, spec, cap, caps, sections, kpad, wpad, atot,
-                          dtype):
+def _decompact_chain_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc,
+                            cdfc, gux, guy, guz, gd, gfc, sh,
+                            gtx_o, gty_o, gtz_o, fcen, dh,
+                            *, spec, cap, caps, sections, kpad, atot,
+                            dtype):
     """Per-slot cotangents -> stage-1 lanes (one rank-indexed vreg gather
-    per quantity) -> window lanes (inv gathers) -> center/wing forces and
-    the box cotangent."""
+    per quantity), center force + box cotangent. kpad-wide only — the
+    wpad-wide wing decompact runs in its own kernel (`_wing_kernel`) so
+    BOTH get much larger row blocks than the old monolith, whose wpad
+    stack temps capped it at 4 cells/instance (1024 instances at the
+    bench box, ~25 ms: the largest single kernel in the step trace)."""
     t_rows = rank_r.shape[0]
     r_rows = t_rows * cap
     rank2 = rank_r[...].reshape(r_rows, kpad)
@@ -1174,9 +1206,13 @@ def _decompact_asn_kernel(rank_r, inv_r, idxr, cux, cuy, cuz, cd, cfc,
     cat = lambda ps: (jnp.concatenate(ps, axis=1) if len(ps) > 1
                       else ps[0])
     gtx, gty, gtz = cat(chunks[0]), cat(chunks[1]), cat(chunks[2])
+    gtx_o[...] = gtx.reshape(t_rows, cap, kpad)
+    gty_o[...] = gty.reshape(t_rows, cap, kpad)
+    gtz_o[...] = gtz.reshape(t_rows, cap, kpad)
 
-    _wing_center(gtx, gty, gtz, inv_r, t_rows, cap, kpad, wpad, fcen,
-                 wing)
+    fcen[:, 0, :] = _row_sum(gtx, t_rows, cap)
+    fcen[:, 1, :] = _row_sum(gty, t_rows, cap)
+    fcen[:, 2, :] = _row_sum(gtz, t_rows, cap)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -1184,6 +1220,35 @@ def _decompact_asn_kernel(rank_r, inv_r, idxr, cux, cuy, cuz, cd, cfc,
 
     dh[...] = dh[...] + _dh_from_compact(sh[...][0], iv, cap, kpad,
                                          gtx, gty, gtz, dtype)
+
+
+def _wing_kernel(gtx_r, gty_r, gtz_r, inv_r, wing,
+                 *, cap, kpad, wpad, dtype):
+    """Window-lane wing force: wing[t, c, w] = -sum_slots g_c[slot,
+    inv[slot, w]]. Streams one 128-lane output chunk at a time (gather
+    via per-source-chunk select-accumulate, slot-reduce, write) instead
+    of materializing full [R, wpad] decompact temps — the old form's
+    dominant stack term."""
+    t_rows = inv_r.shape[0]
+    r_rows = t_rows * cap
+    srcs = (gtx_r[...].reshape(r_rows, kpad),
+            gty_r[...].reshape(r_rows, kpad),
+            gtz_r[...].reshape(r_rows, kpad))
+    invv = inv_r[...].reshape(r_rows, wpad)
+    for kc in range(wpad // _LANE):
+        ivc = invv[:, kc * _LANE:(kc + 1) * _LANE]
+        accs = [jnp.zeros((r_rows, _LANE), dtype) for _ in srcs]
+        for c in range(kpad // _LANE):
+            lo = c * _LANE
+            loc = jnp.clip(ivc - lo, 0, _LANE - 1)
+            hit = (ivc >= lo) & (ivc < lo + _LANE)
+            for si, src in enumerate(srcs):
+                g = jnp.take_along_axis(src[:, lo:lo + _LANE], loc,
+                                        axis=1)
+                accs[si] = jnp.where(hit, g, accs[si])
+        for ci, acc in enumerate(accs):
+            wing[0, :, ci, kc * _LANE:(kc + 1) * _LANE] = -jnp.sum(
+                acc.reshape(t_rows, cap, _LANE), axis=1)
 
 
 def _angular_specs(cap, kpad, wpad, atot, al, nc_pad, dtype, t=_T_ROWS):
@@ -1782,39 +1847,50 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
             [jnp.concatenate([p[qi] for p in parts], axis=0)
              for qi in range(5)], axis=1)[pos_of[:n]]
         gsum = _split_cat(gcat, atot)
-    # back to grid layout for the window-structured decompact kernel
+    # back to grid layout for the window-structured decompact kernels
     gsum = [_pad_rows(_to_grid_rows(inv_bins, gf, 0.0), nc_pad, 0.0)
             for gf in gsum]
 
     sh = _wrap_shift_tables(grid, 1, dtype)
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
         1, nc_pad, 27, 3)
-    kern = functools.partial(
-        _decompact_asn_kernel, spec=spec, cap=cap, caps=caps,
-        sections=sections, kpad=kpad, wpad=wpad, atot=atot, dtype=dtype)
-    t = _t_cells(cap, wpad)
-    fcen, wing, dh_pad = pl.pallas_call(
-        kern,
-        grid=(nc_pad // t,),
-        in_specs=[_k3_spec(cap, kpad, t), _k3_spec(cap, wpad, t),
-                  _k3_spec(cap, kpad, t)]
-        + [_k3_spec(cap, atot, t)] * 11
-        + [pl.BlockSpec((1, t, 27, 3), lambda i: (0, i, 0, 0),
+    t_a = _t_chain(cap, kpad, nc_pad)
+    kern_a = functools.partial(
+        _decompact_chain_kernel, spec=spec, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, atot=atot, dtype=dtype)
+    gtx, gty, gtz, fcen, dh_pad = pl.pallas_call(
+        kern_a,
+        grid=(nc_pad // t_a,),
+        in_specs=[_k3_spec(cap, kpad, t_a), _k3_spec(cap, kpad, t_a)]
+        + [_k3_spec(cap, atot, t_a)] * 11
+        + [pl.BlockSpec((1, t_a, 27, 3), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=[_out1_spec(3, cap, t),
-                   pl.BlockSpec((1, t, 3, wpad),
-                                lambda i: (0, i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   _acc1_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
-            jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
-            jax.ShapeDtypeStruct((8, 128), dtype),
-        ],
+        out_specs=[_k3_spec(cap, kpad, t_a)] * 3
+        + [_out1_spec(3, cap, t_a), _acc1_spec()],
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, kpad), dtype)] * 3
+        + [jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
+           jax.ShapeDtypeStruct((8, 128), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(rank2, ainv_p, aidx_p, *compact, *gsum, sh)
+    )(rank2, aidx_p, *compact, *gsum, sh)
+
+    t_w = _t_wing(cap, kpad, wpad, nc_pad)
+    kern_w = functools.partial(
+        _wing_kernel, cap=cap, kpad=kpad, wpad=wpad, dtype=dtype)
+    wing = pl.pallas_call(
+        kern_w,
+        grid=(nc_pad // t_w,),
+        in_specs=[_k3_spec(cap, kpad, t_w)] * 3
+        + [_k3_spec(cap, wpad, t_w)],
+        out_specs=pl.BlockSpec((1, t_w, 3, wpad),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(gtx, gty, gtz, ainv_p)
 
     dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
     return dpos, dh_pad[:3, :3]
