@@ -496,7 +496,8 @@ class Simulation:
 
     # ---------- internals (traced) ----------
 
-    def _derive_angular_caps(self, pos, box, regrow=False):
+    def _derive_angular_caps(self, pos, box, regrow=False,
+                             regrow_mirror=False):
         """Specialize the potential's AEV to this system's composition:
         measure per-species angular-neighbor degrees once, set static caps
         with 50% + skin headroom (species absent from the system get cap 0,
@@ -569,10 +570,29 @@ class Simulation:
             import os as _os
             self._rad_sections = mk_sections(
                 sec["rad"], float(_os.environ.get("LAT_SEC_MARGIN", "1.1")))
+        old_ang_cap, old_k_max = self._ang_cap, self._k_max
         self._ang_cap = int(-(-int(ang_deg * 1.1 + 2) // 4) * 4)
         # tight neighbor capacity too (radial/displacement work is linear in
         # k_max); growth handled by the same overflow-recovery path
         self._k_max = int(-(-int(max_deg * 1.1 + 4) // 8) * 8)
+        if regrow or regrow_mirror:
+            # a regrow re-derive must never SHRINK a capacity: the chunk
+            # that overflowed rebuilds mid-chunk (check-yes) at later
+            # geometry than the state measured here
+            if old_ang_cap is not None:
+                self._ang_cap = max(self._ang_cap, old_ang_cap)
+            self._k_max = max(self._k_max, old_k_max)
+        if regrow_mirror:
+            # the mirror ok-flag tripped (angular sub-list cnt > cap or
+            # an asymmetric truncation): measured-at-input margins can
+            # be exactly what just failed on a mid-chunk rebuild, so
+            # growth must be monotonic in the retry loop — without this
+            # the same caps re-derive every retry and run() dies at the
+            # attempt limit (observed at 101k, skin 1.5)
+            if old_ang_cap is not None:
+                self._ang_cap = max(self._ang_cap, old_ang_cap + 4)
+            self._k_max = max(self._k_max,
+                              -(-(old_k_max + 8) // 8) * 8)
         # Angular caps carry measured margin: the t=0 degree measure sits
         # one thermal fluctuation below the per-step max over
         # n_atoms x steps, and every cap overflow costs a chunk recompile
@@ -1049,8 +1069,9 @@ class Simulation:
                         # monotonic bump when the caps themselves tripped,
                         # so a transient spike can't re-derive the same
                         # too-tight caps and loop)
-                        self._derive_angular_caps(state.pos, state.box,
-                                                  regrow=ovf["angular"])
+                        self._derive_angular_caps(
+                            state.pos, state.box, regrow=ovf["angular"],
+                            regrow_mirror=ovf["mirror"])
                     elif ovf["k_max"]:
                         self._k_max = -(-int(self._k_max * 3 // 2) // 8) * 8
                         self._chunk_cache = {}

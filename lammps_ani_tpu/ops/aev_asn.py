@@ -382,15 +382,15 @@ def _t_cells(cap, wpad):
     window (cap 32 -> the historical 8-cell block, proven on hardware;
     cap 36+ -> 4).
 
-    50 B/(row*window lane) is calibrated against the worst offender (the
-    angular decompact kernel measured 69.6 B/row-lane pre-
-    _gather_lanes_multi at cap 36; the shared-index refactor removes two
-    of the three per-chunk index/mask temp sets) and pinned so cap 32
-    keeps t=8 (the default capacity, compiled and run on-chip) while
-    cap 36 drops to t=4 — the previous 48 B estimate left cap 36
-    EXACTLY at the threshold (8*36*1024*48 == the 13.5 MB bound, and
-    the comparison was strict), so a mid-run capacity regrow kept t=8
-    and died in compile at 19.58 MB scoped VMEM (hard limit 16 MB)."""
+    50 B/(row*window lane) was calibrated against the then-worst
+    offender (the pre-split angular decompact monolith, 69.6 B/row-lane
+    before _gather_lanes_multi; that kernel now sizes itself via
+    _t_chain/_t_wing) and pinned so cap 32 keeps t=8 (the default
+    capacity, compiled and run on-chip) while cap 36 drops to t=4 — the
+    previous 48 B estimate left cap 36 EXACTLY at the threshold
+    (8*36*1024*48 == the 13.5 MB bound, and the comparison was strict),
+    so a mid-run capacity regrow kept t=8 and died in compile at
+    19.58 MB scoped VMEM (hard limit 16 MB)."""
     t = 8
     while t > 1 and t * cap * wpad * 50 >= 13 * 2 ** 20 + 2 ** 19:
         t //= 2

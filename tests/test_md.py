@@ -255,3 +255,63 @@ def test_cell_capacity_autogrows_from_occupancy():
     p_br, e_br = run(False)
     np.testing.assert_allclose(e_cl, e_br, rtol=1e-12)
     np.testing.assert_allclose(p_cl, p_br, atol=1e-12)
+
+
+def test_mirror_regrow_is_monotonic(monkeypatch):
+    """A mirror ok-flag overflow (angular sub-list cnt > _ang_cap, or an
+    asymmetric truncation) re-derives capacities at the chunk INPUT
+    geometry — which can be exactly the sizing that just failed on a
+    mid-chunk check-yes rebuild at LATER geometry. The retry loop
+    converges only because regrow_mirror growth is monotonic; without it
+    the same caps re-derive every retry and run() dies at the attempt
+    limit (observed at 101k atoms / skin 1.5 on TPU). Reference
+    never-die analog: pair_ani.cpp:104-151."""
+    import lammps_ani_tpu as lat
+    from lammps_ani_tpu.io import lammps_data as ldio
+    from lammps_ani_tpu.models import zoo
+
+    monkeypatch.setenv("LAT_ROLL_IMPL", "xla")
+    data = ldio.replicate(
+        ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
+        2, 2, 2)
+    pot = zoo.ani2x(num_models=1, dtype=jnp.float64)
+    sim = lat.Simulation(
+        potential=pot, species=data.species,
+        masses=data.masses_by_type[data.species],
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                               k_max=96, ghost_capacity=8192,
+                               rebuild_every=2),
+        dt=0.2, dtype=jnp.float64, cellroll=True)
+    box = lat.Box(h=jnp.asarray(data.box_h, jnp.float64),
+                  origin=jnp.asarray(data.box_origin, jnp.float64))
+    st = sim.init_state(data.positions, box, temp=300.0, seed=9)
+    assert sim._ang_cap is not None
+
+    # the bump mechanism: strict monotone growth per mirror retry, even
+    # though the measured geometry (and thus the raw derivation) repeats
+    c0, k0 = sim._ang_cap, sim._k_max
+    sim._derive_angular_caps(st.pos, st.box, regrow_mirror=True)
+    c1, k1 = sim._ang_cap, sim._k_max
+    assert c1 >= c0 + 4 and k1 >= k0 + 8
+    sim._derive_angular_caps(st.pos, st.box, regrow_mirror=True)
+    assert sim._ang_cap >= c1 + 4 and sim._k_max >= k1 + 8
+
+    # driver-level recovery: an undersized sub-list capacity must regrow
+    # through run() and produce the reference trajectory, not die
+    ref = lat.Simulation(
+        potential=pot, species=data.species,
+        masses=data.masses_by_type[data.species],
+        nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
+                               k_max=96, ghost_capacity=8192,
+                               rebuild_every=2),
+        dt=0.2, dtype=jnp.float64, cellroll=True)
+    st_ref = ref.init_state(data.positions, box, temp=300.0, seed=9)
+    st_ref, _ = ref.run(st_ref, 4)
+
+    sim._ang_cap = 4
+    sim._chunk_cache = {}
+    st, _ = sim.run(st, 4)
+    assert sim.regrow_events >= 1 and sim._ang_cap > 4
+    np.testing.assert_allclose(sim.positions_input_order(st),
+                               ref.positions_input_order(st_ref),
+                               atol=1e-12)
