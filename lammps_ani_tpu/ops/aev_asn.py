@@ -670,7 +670,11 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out, erep,
         a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
                                  cap, dtype)
         e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        erep[...] = _row_sum(e, t_rows, cap)[:, None, :]
+        # 2-D [t, cap] output: the earlier [t, 1, cap] form's middle
+        # unit axis hit an XLA fusion-layout CHECK (array.h limits[i] <=
+        # dim(i)) when the repulsion energy and the strain-virial
+        # cotangent were live in one program at kpad-128 shapes
+        erep[...] = _row_sum(e, t_rows, cap)
 
 
 def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
@@ -745,14 +749,16 @@ def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
         grid=(nc_pad // t,),
         in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
         + [_k3_spec(cap, kpad, t)],
-        out_specs=[_out1_spec(cap, srl, t), _cen_spec(cap, t)],
+        out_specs=[_out1_spec(cap, srl, t),
+                   pl.BlockSpec((t, cap), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
         out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, srl), dtype),
-                   jax.ShapeDtypeStruct((nc_pad, 1, cap), dtype)],
+                   jax.ShapeDtypeStruct((nc_pad, cap), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(px, py, pz, pcs, cx, cy, cz, aidx_p)
-    return out[:nc][cell, slot], erep[:nc, 0][cell, slot]
+    return out[:nc][cell, slot], erep[:nc][cell, slot]
 
 
 def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,

@@ -73,12 +73,24 @@ def main():
     w_a = jax.random.normal(jax.random.PRNGKey(1), (spec.angular_length,),
                             dtype)
 
+    from lammps_ani_tpu.models import repulsion as repmod
+    rep = repmod.RepulsionSpec.for_symbols(
+        ("H", "C", "N", "O", "S", "F", "Cl"))
+
     @jax.jit
     def rad(p):
-        e = jnp.sum(apasn.radial_aev_asn(spec, grid, bins, asn, p, box,
-                                         sections)[0] @ w_r)
-        return e, jax.grad(lambda q: jnp.sum(apasn.radial_aev_asn(
-            spec, grid, bins, asn, q, box, sections)[0] @ w_r))(p)
+        # repulsion ON: the side channel's kernels/VJP are part of the
+        # production radial program (ANI-1xnr / bench workloads) and
+        # have their own shape-dependent compile surface
+        def e_of(q, h):
+            b = lat.Box(h=h, origin=box.origin)
+            aev, er = apasn.radial_aev_asn(spec, grid, bins, asn, q, b,
+                                           sections, repulsion=rep)
+            return jnp.sum(aev @ w_r) + jnp.sum(er)
+        # grad wrt positions AND box (the production virial path — its
+        # h-cotangent kernels are a distinct compile surface)
+        g_p, g_h = jax.grad(e_of, argnums=(0, 1))(p, box.h)
+        return e_of(p, box.h), g_p + jnp.sum(g_h) * 0.0
 
     @jax.jit
     def ang(p):
