@@ -1081,6 +1081,11 @@ class Simulation:
                             "ANISpec.angular_caps or enable "
                             "auto_angular_caps")
                 continue
+            # the attempt limit bounds CONSECUTIVE regrow failures (a
+            # stuck capacity re-overflowing with no progress), not the
+            # total over a long run: every regrow is monotonic, so any
+            # successful chunk in between means progress was real
+            recap_attempts = 0
             n_done = int(jax.device_get(n_done))
             if n_done == 0:
                 # the very first step after a rebuild already violated the

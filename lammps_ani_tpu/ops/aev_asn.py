@@ -640,7 +640,7 @@ def _rep_pair(rep, dist, a_ij, z_ij, valid, dtype):
     return 0.5 * e, 0.5 * de  # half per directed pair
 
 
-def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out, erep,
+def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
                            *, spec, rep, cap, sections, kpad, wpad, dtype):
     eta, mu0, delta, steps = _radial_consts(spec, dtype)
     rc = spec.radial_cutoff
@@ -664,21 +664,22 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out, erep,
         for s, _ in sections:
             out[:, :, s * n_shf + k] = _row_sum(t * masks[s], t_rows, cap)
 
-    if rep is None:
-        erep[...] = jnp.zeros_like(erep[...])
-    else:
+    if rep is not None:
         a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
                                  cap, dtype)
         e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        # 2-D [t, cap] output: the earlier [t, 1, cap] form's middle
-        # unit axis hit an XLA fusion-layout CHECK (array.h limits[i] <=
-        # dim(i)) when the repulsion energy and the strain-virial
-        # cotangent were live in one program at kpad-128 shapes
-        erep[...] = _row_sum(e, t_rows, cap)
+        # the repulsion energy rides lane column `srl` of the radial out
+        # array: a separate output needs its own block spec, and neither
+        # 2-D [t, cap] (t < 8 after a capacity regrow violates Mosaic's
+        # 8-divisibility rule) nor 3-D [t, 1, cap] (the middle unit axis
+        # hit an XLA fusion-layout CHECK with the strain cotangent live)
+        # compiles across all regrown shapes — the out block's last two
+        # dims equal the array dims, which Mosaic accepts for ANY t
+        out[:, :, out.shape[-1] - 1] = _row_sum(e, t_rows, cap)
 
 
 def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
-                           grep, sh, fcen, wing, dh,
+                           sh, fcen, wing, dh,
                            *, spec, rep, cap, sections, kpad, wpad, dtype):
     eta, mu0, delta, steps = _radial_consts(spec, dtype)
     rc = spec.radial_cutoff
@@ -696,7 +697,7 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
                     (-0.5 * math.pi / rc) * jnp.sin(dist * (math.pi / rc)),
                     jnp.zeros((), dtype))
     x = jnp.minimum(dist, rc + 1.0) - mu0
-    gav3 = ga[...]  # [T, cap, srl]
+    gav3 = ga[...]  # [T, cap, srl + 1]; last lane = repulsion cotangent
 
     gamma = jnp.zeros((r_rows, kpad), dtype)
     for k in range(n_shf):
@@ -712,7 +713,8 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
         a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
                                  cap, dtype)
         _, de = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        gamma = gamma + _mul_rows(de, _ldp(grep), t_rows, cap)
+        gamma = gamma + _mul_rows(de, gav3[:, :, gav3.shape[-1] - 1],
+                                  t_rows, cap)
 
     inv_d = 1.0 / dist
     gx = gamma * ax * inv_d
@@ -744,21 +746,19 @@ def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
         _radial_fwd_asn_kernel, spec=spec, rep=rep, cap=cap,
         sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
     t = _t_cells(cap, wpad)
-    out, erep = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid=(nc_pad // t,),
         in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
         + [_k3_spec(cap, kpad, t)],
-        out_specs=[_out1_spec(cap, srl, t),
-                   pl.BlockSpec((t, cap), lambda i: (i, 0),
-                                memory_space=pltpu.VMEM)],
-        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, srl), dtype),
-                   jax.ShapeDtypeStruct((nc_pad, cap), dtype)],
+        out_specs=_out1_spec(cap, srl + 1, t),
+        out_shape=jax.ShapeDtypeStruct((nc_pad, cap, srl + 1), dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(px, py, pz, pcs, cx, cy, cz, aidx_p)
-    return out[:nc][cell, slot], erep[:nc][cell, slot]
+    rows = out[:nc][cell, slot]
+    return rows[:, :srl], rows[:, srl]
 
 
 def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
@@ -772,9 +772,10 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
         grid, inv_bins, csp_grid, pos, h, wpad)
     aidx_p = _pad_rows(aidx, nc_pad, wpad)
     ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
-    ga = _pad_rows(_to_grid_rows(inv_bins, ga_flat, 0.0), nc_pad, 0.0)
-    grep = _pad_rows(_to_grid_rows(inv_bins, grep_flat, 0.0),
-                     nc_pad, 0.0)[:, None, :]
+    # repulsion cotangent rides the last lane of the radial cotangent
+    # block (see _radial_fwd_asn_kernel for why it is not its own output)
+    gac = jnp.concatenate([ga_flat, grep_flat[:, None]], axis=-1)
+    ga = _pad_rows(_to_grid_rows(inv_bins, gac, 0.0), nc_pad, 0.0)
     sh = _wrap_shift_tables(grid, 1, dtype)  # [NC, 27, 3]
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
         1, nc_pad, 27, 3)
@@ -789,7 +790,7 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
         grid=(nc_pad // t,),
         in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
         + [_k3_spec(cap, kpad, t), _k3_spec(cap, wpad, t),
-           _out1_spec(cap, srl, t), _cen_spec(cap, t),
+           _out1_spec(cap, srl + 1, t),
            pl.BlockSpec((1, t, 27, 3), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=[_out1_spec(3, cap, t),
@@ -805,7 +806,7 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(px, py, pz, pcs, cx, cy, cz, aidx_p, ainv_p, ga, grep, sh)
+    )(px, py, pz, pcs, cx, cy, cz, aidx_p, ainv_p, ga, sh)
 
     dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
     return dpos, dh_pad[:3, :3]
