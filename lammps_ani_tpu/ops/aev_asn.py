@@ -414,6 +414,20 @@ def _t_chain(cap, kpad, nc_pad):
     return _t_env("ASN_T_CHAIN", t)
 
 
+def _t_rgam(cap, kpad, wpad, nc_pad):
+    """Cell rows per radial-gamma kernel instance: the monolith's 50
+    B/(row*window lane) bound covered the wpad-wide wing decompact
+    temps; without them the stack is the window geometry gathers + the
+    16-shf gamma chain (~30 B/row-wlane, calibrated so cap 36 runs t=8
+    — the monolith's t=4 doubled instance count and charged ~14 ms/step
+    of pure overhead at the bench box)."""
+    t = 8
+    while t > 1 and (t * cap * wpad * 30 >= 13 * 2 ** 20 + 2 ** 19
+                     or t > nc_pad):
+        t //= 2
+    return _t_env("ASN_T_RGAM", t)
+
+
 def _t_wing(cap, kpad, wpad, nc_pad):
     """Cell rows per wing kernel instance. The streamed form keeps, per
     row: inv [wpad] i32, 3 src [kpad] f32, and per-out-chunk temps that
@@ -567,19 +581,6 @@ def _dh_from_compact(sh, iv, cap, kpad, gx, gy, gz, dtype):
     return dh_acc
 
 
-def _wing_center(gx, gy, gz, inv_r, t_rows, cap, kpad, wpad, fcen, wing):
-    """Emit center-role force (lane reduce) and window-lane wing force
-    (decompact via the inverse map) into the output refs."""
-    r_rows = t_rows * cap
-    fcen[:, 0, :] = _row_sum(gx, t_rows, cap)
-    fcen[:, 1, :] = _row_sum(gy, t_rows, cap)
-    fcen[:, 2, :] = _row_sum(gz, t_rows, cap)
-    invv = inv_r[...].reshape(r_rows, wpad)
-    wdec = _gather_lanes_multi((gx, gy, gz), invv, wpad // _LANE)
-    for c, w_c in enumerate(wdec):  # [R, wpad] each
-        wing[0, :, c, :] = -jnp.sum(w_c.reshape(t_rows, cap, wpad), axis=1)
-
-
 # ---------------------------------------------------------------------------
 # Radial channel (+ optional XTB repulsion side channel)
 # ---------------------------------------------------------------------------
@@ -678,8 +679,8 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
         out[:, :, out.shape[-1] - 1] = _row_sum(e, t_rows, cap)
 
 
-def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
-                           sh, fcen, wing, dh,
+def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
+                           sh, gx_o, gy_o, gz_o, fcen, dh,
                            *, spec, rep, cap, sections, kpad, wpad, dtype):
     eta, mu0, delta, steps = _radial_consts(spec, dtype)
     rc = spec.radial_cutoff
@@ -721,7 +722,17 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, inv_r, ga,
     gy = gamma * ay * inv_d
     gz = gamma * az * inv_d
 
-    _wing_center(gx, gy, gz, inv_r, t_rows, cap, kpad, wpad, fcen, wing)
+    # center force here; the wpad-wide wing decompact runs in its own
+    # kernel (`_wing_kernel`, shared with the angular channel) — the
+    # monolith's wpad stack temps forced t=4 at cap 36 (1024 instances,
+    # measured 24.8 ms/step vs 10.9 at cap 32/t=8: instance overhead,
+    # not arithmetic)
+    gx_o[...] = gx.reshape(t_rows, cap, kpad)
+    gy_o[...] = gy.reshape(t_rows, cap, kpad)
+    gz_o[...] = gz.reshape(t_rows, cap, kpad)
+    fcen[:, 0, :] = _row_sum(gx, t_rows, cap)
+    fcen[:, 1, :] = _row_sum(gy, t_rows, cap)
+    fcen[:, 2, :] = _row_sum(gz, t_rows, cap)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -784,29 +795,41 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
     kern = functools.partial(
         _radial_bwd_asn_kernel, spec=spec, rep=rep, cap=cap,
         sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
-    t = _t_cells(cap, wpad)
-    fcen, wing, dh_pad = pl.pallas_call(
+    t = _t_rgam(cap, kpad, wpad, nc_pad)
+    gx, gy, gz, fcen, dh_pad = pl.pallas_call(
         kern,
         grid=(nc_pad // t,),
         in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
-        + [_k3_spec(cap, kpad, t), _k3_spec(cap, wpad, t),
+        + [_k3_spec(cap, kpad, t),
            _out1_spec(cap, srl + 1, t),
            pl.BlockSpec((1, t, 27, 3), lambda i: (0, i, 0, 0),
                         memory_space=pltpu.VMEM)],
-        out_specs=[_out1_spec(3, cap, t),
-                   pl.BlockSpec((1, t, 3, wpad),
-                                lambda i: (0, i, 0, 0),
-                                memory_space=pltpu.VMEM),
-                   _acc1_spec()],
-        out_shape=[
-            jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
-            jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
-            jax.ShapeDtypeStruct((8, 128), dtype),
-        ],
+        out_specs=[_k3_spec(cap, kpad, t)] * 3
+        + [_out1_spec(3, cap, t), _acc1_spec()],
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, kpad), dtype)] * 3
+        + [jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
+           jax.ShapeDtypeStruct((8, 128), dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(px, py, pz, pcs, cx, cy, cz, aidx_p, ainv_p, ga, sh)
+    )(px, py, pz, pcs, cx, cy, cz, aidx_p, ga, sh)
+
+    t_w = _t_wing(cap, kpad, wpad, nc_pad)
+    kern_w = functools.partial(
+        _wing_kernel, cap=cap, kpad=kpad, wpad=wpad, dtype=dtype)
+    wing = pl.pallas_call(
+        kern_w,
+        grid=(nc_pad // t_w,),
+        in_specs=[_k3_spec(cap, kpad, t_w)] * 3
+        + [_k3_spec(cap, wpad, t_w)],
+        out_specs=pl.BlockSpec((1, t_w, 3, wpad),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(gx, gy, gz, ainv_p)
 
     dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
     return dpos, dh_pad[:3, :3]
