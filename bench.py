@@ -85,9 +85,13 @@ def main():
     # angular margin 1.1: the pair-block cost is quadratic in the caps,
     # and 1.4 overshot the H cap to 28 where the observed ratcheted
     # high-water is 20 (1.5x the angular work for nothing; profiled).
+    # sec margin 1.1 (the code default): 1.25 ratcheted sections to
+    # (85, 45) = 130 compact lanes -> kpad 256, doubling every
+    # kpad-wide kernel's lane work; at 1.1 the same trajectory runs
+    # (84, 40) = 124 -> kpad 128 with zero regrows (170 -> 146 ms/step)
     os.environ.setdefault("LAT_ROLL_CAP_MARGIN", "4")
     os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.1")
-    os.environ.setdefault("LAT_SEC_MARGIN", "1.25")
+    os.environ.setdefault("LAT_SEC_MARGIN", "1.1")
 
     cellroll = os.environ.get("BENCH_CELLROLL", "1") == "1"
     skin = float(os.environ.get("BENCH_SKIN", "2.0"))
@@ -194,6 +198,14 @@ def main():
             "matom_steps_per_s": round(matom_steps, 4),
             "dt_fs": dt,
             "engine": sim._roll_impl,
+            # ratcheted steady-state shapes: the compact-lane padding
+            # (kpad = sections total rounded to 128) and the grid cap
+            # drive most kernels' lane efficiency — publish them so a
+            # number is reproducible at its shapes
+            "sections": list(sim._rad_sections or ()),
+            "cell_cap": getattr(sim._roll_grid, "cap", None),
+            "ang_tiers": [[list(c), r] for c, r in (sim._ang_tiers or ())],
+            "regrow_events": sim.regrow_events,
             "device": str(jax.devices()[0]),
             "baseline": "A100 100k water 1.495 ns/day (BASELINE.md)",
         },

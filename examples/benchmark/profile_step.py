@@ -32,8 +32,8 @@ def main():
     # mirror bench.py: equilibrated tile, core repulsion, thermostat,
     # capacity margins — profile what the headline number executes
     os.environ.setdefault("LAT_ROLL_CAP_MARGIN", "4")
-    os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.4")
-    os.environ.setdefault("LAT_SEC_MARGIN", "1.25")
+    os.environ.setdefault("LAT_ANG_CAP_MARGIN", "1.1")
+    os.environ.setdefault("LAT_SEC_MARGIN", "1.1")
     tile = ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data")
     equil = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "data", "equil_water30.npz")

@@ -562,9 +562,30 @@ class Simulation:
         degrees = np.asarray(degrees)
         if asn_mode:
             def mk_sections(degs, margin):
-                return tuple(
-                    (s, int(-(-int(d * margin + 2) // 4) * 4))
-                    for s, d in enumerate(np.asarray(degs)) if d > 0)
+                out = [(s, int(-(-int(d * margin + 2) // 4) * 4))
+                       for s, d in enumerate(np.asarray(degs)) if d > 0]
+                # Every kpad-wide kernel (radial fwd/bwd, stage-2
+                # compact, both wing decompacts) pads the compact lane
+                # axis to the next 128: headroom that pushes the section
+                # total past a lane boundary doubles their work (measured
+                # 170 -> 146 ms/step at the 101k bench box when 130 ->
+                # 124 lanes). Trim margin lanes (never measured demand)
+                # to sit at the boundary; if the trajectory truly needs
+                # more, the deficit-driven regrow pays one recompile and
+                # crosses it honestly.
+                floor = [(s, int(-(-(int(d) + 1) // 4) * 4))
+                         for s, d in enumerate(np.asarray(degs)) if d > 0]
+                total = sum(k for _, k in out)
+                bound = -(-sum(k for _, k in floor) // 128) * 128
+                while total > bound:
+                    # shave the section with the most margin headroom
+                    i = max(range(len(out)),
+                            key=lambda j: out[j][1] - floor[j][1])
+                    if out[i][1] - floor[i][1] <= 0:
+                        break
+                    out[i] = (out[i][0], out[i][1] - 4)
+                    total -= 4
+                return tuple(out)
             # ~10% headroom: density fluctuations between re-measures grow
             # sections without a recompile only via overflow recovery
             import os as _os
