@@ -74,6 +74,7 @@ from .aev_pallas import (
     _interpret_default,
     _pad_rows,
     _pair_blocks,
+    _pair_terms_core,
     _radial_consts,
     _shell_offsets,
     _to_grid_rows,
@@ -1048,9 +1049,12 @@ def _chunk1(a1, a2):
     return c1, n_g
 
 
-def _block_cost(a1, a2):
+def _block_cost(a1, a2, same=False):
     """Padded-lane VPU cost of one species-pair block per row (the tier
-    search's work model; mirrors _chunk1's chunking)."""
+    search's work model; mirrors _chunk1's chunking, or the triangle
+    packing for same-species blocks when enabled)."""
+    if same and a1 <= _LANE and _tri_on():
+        return _tri_block_cost(a1)
     c1, n_g = _chunk1(a1, a2)
     return n_g * (-(-(c1 * a2) // _LANE) * _LANE)
 
@@ -1187,6 +1191,261 @@ def _block_bwd_kernel(*refs, spec, c1, a2, same, dtype):
 
     for ref, (key, val) in zip(arm2_o, arm2.items()):
         ref[...] = ref[...] + _arm_reduce(val, c1, a2, 2)
+
+
+def _tri_on():
+    """Triangle-packed same-species pair blocks (LAT_ANG_TRI=0 reverts
+    to the full-matrix form for A/B)."""
+    return _os.environ.get("LAT_ANG_TRI", "1") != "0"
+
+
+@functools.lru_cache(maxsize=None)
+def _tri_layout(a):
+    """Static chunking of the strict-upper-triangle pair lanes of one
+    same-species block: q = a*(a-1)/2 unordered pairs in j-major order,
+    split into 128-lane chunks (each its own pallas_call — the segment
+    structure below is chunk-static, so chunks cannot share one traced
+    grid body).
+
+    Returns (n_g, q, segs): segs[g] a tuple of (j, k0, lane0, w) runs —
+    chunk lanes [lane0, lane0+w) hold the pairs (j, k0..k0+w-1),
+    contiguous because the order is j-major."""
+    j_of = np.concatenate([np.full(a - 1 - j, j, np.int32)
+                           for j in range(a - 1)])
+    k_of = np.concatenate([np.arange(j + 1, a, dtype=np.int32)
+                           for j in range(a - 1)])
+    q = j_of.size
+    n_g = max(1, -(-q // _LANE))
+    segs = []
+    for g in range(n_g):
+        lo, hi = g * _LANE, min((g + 1) * _LANE, q)
+        runs = []
+        t = lo
+        while t < hi:
+            j = int(j_of[t])
+            end = min(hi, t + (a - int(k_of[t])))
+            runs.append((j, int(k_of[t]), t - lo, end - t))
+            t = end
+        segs.append(tuple(runs))
+    return n_g, q, tuple(segs)
+
+
+def _tri_idx(g, a, q, r):
+    """In-kernel [r, 128] arm-slot index maps for triangle chunk g
+    (pallas kernels cannot capture array constants, so the j-major
+    pair -> (j, k) maps are rebuilt from iota + static scalars: j via
+    the a-1 segment-offset compares, k from the closed-form offset
+    j*(2a-j-1)/2). Dead lanes (t >= q) index the pad lane 127."""
+    t = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE), 1) + g * _LANE
+    j = jnp.zeros_like(t)
+    for jj in range(1, a - 1):
+        j = j + (t >= jj * (2 * a - jj - 1) // 2).astype(jnp.int32)
+    k = t - (j * (2 * a - j - 1)) // 2 + j + 1
+    valid = t < q
+    dead = jnp.full_like(t, _LANE - 1)
+    i1 = jnp.where(valid, j, dead)
+    i2 = jnp.where(valid, k, dead)
+    return (jnp.broadcast_to(i1, (r, _LANE)),
+            jnp.broadcast_to(i2, (r, _LANE)))
+
+
+def _tri_pair_terms(spec, sl, g, a, q, dtype):
+    """Gather both pair arms of triangle chunk g from the [r, a] arm
+    slots with ONE per-vreg dynamic gather per (quantity, arm): the
+    slots are lane-padded to 128 with the parked-slot constants (dead
+    pair lanes index the pad lane -> fc = 0 kills their contribution
+    exactly, forward and backward), then run the shared pair-term
+    body."""
+    r = sl["ux"].shape[0]
+    big = 2.0 * spec.angular_cutoff + 10.0
+    i1, i2 = _tri_idx(g, a, q, r)
+    p = {}
+    for key, padv in zip(_COMPACT_KEYS[:5], _ARM_PADS):
+        v = big if padv is None else padv
+        xp = jnp.pad(sl[key], ((0, 0), (0, _LANE - a)),
+                     constant_values=v)
+        p[key + "1"] = jnp.take_along_axis(xp, i1, axis=1)
+        p[key + "2"] = jnp.take_along_axis(xp, i2, axis=1)
+    consts = _angular_consts(spec, dtype)
+    return _pair_terms_core(
+        spec, consts, p["d1"], p["d2"], p["fc1"], p["fc2"],
+        (p["ux1"], p["uy1"], p["uz1"]), (p["ux2"], p["uy2"], p["uz2"]),
+        dtype)
+
+
+def _tri_reduce1(val, segs, a, dtype):
+    """[r, 128] pair-lane values -> [r, a] arm-1 (j) slot sums: each j's
+    pairs are one contiguous chunk run (j-major order)."""
+    r = val.shape[0]
+    pieces = {}
+    for j, k0, lane0, w in segs:
+        s = jnp.sum(jax.lax.slice(val, (0, lane0), (r, lane0 + w)),
+                    axis=-1)
+        pieces[j] = pieces[j] + s if j in pieces else s
+    zero = None
+    cols = []
+    for j in range(a):
+        if j in pieces:
+            cols.append(pieces[j][:, None])
+        else:
+            if zero is None:
+                zero = jnp.zeros((r, 1), dtype)
+            cols.append(zero)
+    return jnp.concatenate(cols, axis=-1)
+
+
+def _tri_reduce2(val, segs, a, dtype):
+    """[r, 128] pair-lane values -> [r, a] arm-2 (k) slot sums: run
+    (j, k0, lane0, w) lands on slots k0..k0+w-1, a static lane shift."""
+    r = val.shape[0]
+    acc = jnp.zeros((r, a), dtype)
+    for j, k0, lane0, w in segs:
+        seg = jax.lax.slice(val, (0, lane0), (r, lane0 + w))
+        acc = acc + jnp.pad(seg, ((0, 0), (k0, a - k0 - w)))
+    return acc
+
+
+def _block_fwd_tri_kernel(*refs, spec, g, a, q, dtype):
+    """Triangle-packed same-species forward block, one 128-lane pair
+    chunk per call: each unordered pair evaluated ONCE at scale 2
+    (the full-matrix form evaluates both orders at scale 1 — the terms
+    are symmetric, so 2x one order is exact and halves the lane work)."""
+    sl = _slots_from(refs[0:5])
+    out = refs[5]
+    pt = _tri_pair_terms(spec, sl, g, a, q, dtype)
+    cols = []
+    for j, e in enumerate(pt["e_j"]):
+        f2 = pt["fc12"] * e
+        for m, f1 in enumerate(pt["f1_m"]):
+            cols.append(jnp.sum(f2 * f1, axis=-1))
+    out[...] = 2.0 * jnp.stack(cols, axis=-1)
+
+
+def _block_bwd_tri_kernel(*refs, spec, g, a, q, segs, dtype):
+    """Per-slot cotangents of one triangle-packed chunk: both arms'
+    pair cotangents reduce into ONE [r, a] output per quantity (slot j
+    collects its arm-1 runs, slot k its shifted arm-2 runs)."""
+    sl = _slots_from(refs[0:5])
+    ga = refs[5]
+    arm_o = refs[6:11]
+    eta, zeta, mu0, delta, steps, cos_m, sin_m = _angular_consts(spec,
+                                                                 dtype)
+    rca = spec.angular_cutoff
+    nsz = len(spec.shf_z)
+    pt = _tri_pair_terms(spec, sl, g, a, q, dtype)
+    tq = pt["fc12"].shape
+    gav = ga[...]
+
+    df2 = [jnp.zeros(tq, dtype) for _ in spec.shf_a]
+    dcos = jnp.zeros(tq, dtype)
+    for m in range(nsz):
+        f1 = pt["f1_m"][m]
+        df1_m = jnp.zeros(tq, dtype)
+        for j in range(len(spec.shf_a)):
+            g_jm = gav[..., j * nsz + m] * 2.0
+            f2 = pt["fc12"] * pt["e_j"][j]
+            df1_m = df1_m + g_jm[..., None] * f2
+            df2[j] = df2[j] + g_jm[..., None] * f1
+        dbase = df1_m * (zeta / pt["base_m"][m]) * f1
+        dcos = dcos + dbase * 0.5 * (
+            cos_m[m] - pt["c95"] / pt["sv"] * sin_m[m]) * 0.95
+
+    drmean = jnp.zeros(tq, dtype)
+    dfc12 = jnp.zeros(tq, dtype)
+    for j in range(len(spec.shf_a)):
+        e = pt["e_j"][j]
+        drmean = drmean + df2[j] * pt["fc12"] * e * (
+            -2.0 * eta) * (pt["x2"] - j * delta)
+        dfc12 = dfc12 + df2[j] * e
+    drmean = jnp.where(pt["d1p"] + pt["d2p"] <= 2.0 * (rca + 1.0),
+                       drmean, jnp.zeros((), dtype))
+
+    u1x, u1y, u1z = pt["u1"]
+    u2x, u2y, u2z = pt["u2"]
+    arm1 = dict(ux=dcos * u2x, uy=dcos * u2y, uz=dcos * u2z,
+                d=0.5 * drmean, fc=dfc12 * pt["fc2p"])
+    arm2 = dict(ux=dcos * u1x, uy=dcos * u1y, uz=dcos * u1z,
+                d=0.5 * drmean, fc=dfc12 * pt["fc1p"])
+    for ref, key in zip(arm_o, _COMPACT_KEYS[:5]):
+        ref[...] = (_tri_reduce1(arm1[key], segs, a, dtype)
+                    + _tri_reduce2(arm2[key], segs, a, dtype))
+
+
+def _tri_block_cost(a):
+    if a < 2:
+        return 0
+    return -(-(a * (a - 1) // 2) // _LANE) * _LANE
+
+
+def _r_bwd_tri(r, a, segs):
+    """Backward rows per tri chunk: the segment reduces hold one [r,128]
+    temp per run per quantity on Mosaic's no-reuse stack; model ~70 base
+    planes + 5*(runs+1) against the 15 MB scoped-vmem budget."""
+    n_seg = max(len(s) for s in segs)
+    planes = 70 + 5 * (n_seg + 1)
+    while r > 8 and r * 512 * planes > 15 * 2 ** 20:
+        r //= 2
+    return r
+
+
+def _flat2_spec1(a, r):
+    """_flat2_spec for the 1-D tri grids (rows only)."""
+    return pl.BlockSpec((r, a), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _run_tri_fwd(spec, a, arm, rows_t, r, interpret, dtype):
+    """All triangle chunks of one same-species forward block; returns
+    [rows_t, asub] (zeros when a < 2: the only pair is the diagonal)."""
+    asub = spec.angular_sublength
+    if a < 2:
+        return jnp.zeros((rows_t, asub), dtype)
+    n_g, q, segs = _tri_layout(a)
+    blk = None
+    for g in range(n_g):
+        kern = functools.partial(
+            _block_fwd_tri_kernel, spec=spec, g=g, a=a, q=q,
+            dtype=dtype)
+        b = pl.pallas_call(
+            kern,
+            grid=(rows_t // r,),
+            in_specs=[_flat2_spec1(a, r)] * 5,
+            out_specs=_flat2_spec1(asub, r),
+            out_shape=jax.ShapeDtypeStruct((rows_t, asub), dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(*arm)
+        blk = b if blk is None else blk + b
+    return blk
+
+
+def _run_tri_bwd(spec, a, arm, ga_blk, rows_t, r, interpret, dtype):
+    """All triangle chunks of one same-species backward block; returns
+    5 x [rows_t, a] combined-arm cotangent sums (None when a < 2)."""
+    asub = spec.angular_sublength
+    if a < 2:
+        return None
+    n_g, q, segs = _tri_layout(a)
+    outs = None
+    rb = _r_bwd_tri(r, a, segs)
+    for g in range(n_g):
+        kern = functools.partial(
+            _block_bwd_tri_kernel, spec=spec, g=g, a=a, q=q,
+            segs=segs[g], dtype=dtype)
+        o = pl.pallas_call(
+            kern,
+            grid=(rows_t // rb,),
+            in_specs=[_flat2_spec1(a, rb)] * 5
+            + [_flat2_spec1(asub, rb)],
+            out_specs=[_flat2_spec1(a, rb)] * 5,
+            out_shape=[jax.ShapeDtypeStruct((rows_t, a), dtype)] * 5,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=interpret,
+        )(*arm, ga_blk)
+        outs = o if outs is None else [x + y for x, y in zip(outs, o)]
+    return outs
 
 
 def _decompact_chain_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc,
@@ -1331,6 +1590,10 @@ def _run_fwd_blocks(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
         if s1 not in a_offs or s2 not in a_offs:
             continue
         arm1, arm2 = _arm_inputs_flat(cfl_t, a_offs, s1, s2, a1, a2)
+        if same and a1 <= _LANE and _tri_on():
+            pieces[ch0] = _run_tri_fwd(spec, a1, arm1, rows_t, r,
+                                       interpret, dtype)
+            continue
         c1, n_g = _chunk1(a1, a2)
         arm1 = _pad_arm1(arm1, a1, c1, n_g, rca, dtype)
         arm1 = [_group_flat1(x, n_g, c1) for x in arm1]
@@ -1530,7 +1793,7 @@ def search_tiers(cnt, caps):
     n = cnt.shape[0]
 
     def work(cp):
-        return sum(_block_cost(cp[s1], cp[s2])
+        return sum(_block_cost(cp[s1], cp[s2], s1 == s2)
                    for i, s1 in enumerate(present)
                    for s2 in present[i:])
 
@@ -1772,6 +2035,15 @@ def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
         arm1, arm2 = _arm_inputs_flat(cfl_t, a_offs, s1, s2, a1, a2)
         go = ga_off[ch0]
         ga_blk = jax.lax.slice(ga_t, (0, go), (rows_t, go + asub))
+        if same and a1 <= _LANE and _tri_on():
+            outs = _run_tri_bwd(spec, a1, arm1, ga_blk, rows_t, r,
+                                interpret, dtype)
+            if outs is None:
+                continue
+            contrib = [placed(o, off1, a1) for o in outs]
+            gsum = contrib if gsum is None else [a + b for a, b in
+                                                 zip(gsum, contrib)]
+            continue
         c1, n_g = _chunk1(a1, a2)
         arm1 = _pad_arm1(arm1, a1, c1, n_g, rca, dtype)
         arm1 = [_group_flat1(x, n_g, c1) for x in arm1]

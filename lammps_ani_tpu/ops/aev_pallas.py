@@ -680,24 +680,34 @@ def _angular_pair_terms(spec, consts, sl1, sl2, a1, a2, same, dtype):
 
     Returns dict with pair tensors [T,cap,q]: cos geometry, fc-less f2
     factors e_j, fc12, f1_m, plus masks/scales."""
-    eta, zeta, mu0, delta, steps, cos_m, sin_m = consts
-    rca = spec.angular_cutoff
     d1p, d2p = _expand_pair(sl1["d"], sl2["d"], a1, a2)
     fc1p, fc2p = _expand_pair(sl1["fc"], sl2["fc"], a1, a2)
     u1x, u2x = _expand_pair(sl1["ux"], sl2["ux"], a1, a2)
     u1y, u2y = _expand_pair(sl1["uy"], sl2["uy"], a1, a2)
     u1z, u2z = _expand_pair(sl1["uz"], sl2["uz"], a1, a2)
+    pt = _pair_terms_core(spec, consts, d1p, d2p, fc1p, fc2p,
+                          (u1x, u1y, u1z), (u2x, u2y, u2z), dtype)
+    if same:
+        tq = d1p.shape
+        qi = jax.lax.broadcasted_iota(jnp.int32, tq, len(tq) - 1)
+        diag = (qi // a2) == (qi % a2)
+        pt["fc12"] = jnp.where(diag, jnp.zeros((), dtype), pt["fc12"])
+    return pt
+
+
+def _pair_terms_core(spec, consts, d1p, d2p, fc1p, fc2p, u1, u2, dtype):
+    """Pair-term body on already-expanded pair tensors (any packing:
+    the a1*a2 _expand_pair grid or the triangle-packed lanes)."""
+    eta, zeta, mu0, delta, steps, cos_m, sin_m = consts
+    rca = spec.angular_cutoff
+    u1x, u1y, u1z = u1
+    u2x, u2y, u2z = u2
 
     cosq = jnp.clip(u1x * u2x + u1y * u2y + u1z * u2z, -1.0, 1.0)
     c95 = 0.95 * cosq
     sv = jnp.sqrt(1.0 - c95 * c95)
 
     fc12 = fc1p * fc2p
-    if same:
-        tq = d1p.shape
-        qi = jax.lax.broadcasted_iota(jnp.int32, tq, len(tq) - 1)
-        diag = (qi // a2) == (qi % a2)
-        fc12 = jnp.where(diag, jnp.zeros((), dtype), fc12)
 
     rmean = 0.5 * (d1p + d2p)
     x2 = jnp.minimum(rmean, rca + 1.0) - mu0  # clamp: parked slots are big
