@@ -1053,7 +1053,11 @@ def _block_cost(a1, a2, same=False):
     """Padded-lane VPU cost of one species-pair block per row (the tier
     search's work model; mirrors _chunk1's chunking, or the triangle
     packing for same-species blocks when enabled)."""
-    if same and a1 <= _LANE and _tri_on():
+    # a1 < _LANE (not <=): the tri kernels park dead pair lanes on pad
+    # lane _LANE - 1, which must be a DEDICATED pad slot (fc = 0) — at
+    # a1 == _LANE it would alias real slot 127 and the forward would sum
+    # a spurious scaled (127, 127) self-pair
+    if same and a1 < _LANE and _tri_on():
         return _tri_block_cost(a1)
     c1, n_g = _chunk1(a1, a2)
     return n_g * (-(-(c1 * a2) // _LANE) * _LANE)
@@ -1590,7 +1594,9 @@ def _run_fwd_blocks(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
         if s1 not in a_offs or s2 not in a_offs:
             continue
         arm1, arm2 = _arm_inputs_flat(cfl_t, a_offs, s1, s2, a1, a2)
-        if same and a1 <= _LANE and _tri_on():
+        # a1 < _LANE: the tri pad-lane trick needs a dedicated dead slot
+        # (see _block_cost)
+        if same and a1 < _LANE and _tri_on():
             pieces[ch0] = _run_tri_fwd(spec, a1, arm1, rows_t, r,
                                        interpret, dtype)
             continue
@@ -2035,7 +2041,9 @@ def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
         arm1, arm2 = _arm_inputs_flat(cfl_t, a_offs, s1, s2, a1, a2)
         go = ga_off[ch0]
         ga_blk = jax.lax.slice(ga_t, (0, go), (rows_t, go + asub))
-        if same and a1 <= _LANE and _tri_on():
+        # a1 < _LANE: the tri pad-lane trick needs a dedicated dead slot
+        # (see _block_cost)
+        if same and a1 < _LANE and _tri_on():
             outs = _run_tri_bwd(spec, a1, arm1, ga_blk, rows_t, r,
                                 interpret, dtype)
             if outs is None:

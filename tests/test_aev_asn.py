@@ -452,6 +452,48 @@ def test_asn_angular_tiered_matches_untiered():
                                atol=1e-12)
 
 
+def test_asn_angular_tri_matches_full(monkeypatch):
+    """Triangle-packed same-species pair blocks (LAT_ANG_TRI=1, default)
+    vs the full-matrix form (LAT_ANG_TRI=0): each unordered pair once at
+    scale 2 is exact (2x == x + x; the pair terms are bitwise symmetric
+    in the two arms), so values and gradients must agree to summation
+    order. Pins BOTH kernels — the full-matrix form is the fallback for
+    a1 >= 128 and the documented revert path, and nothing else exercises
+    it with the default toggle on (ADVICE r3)."""
+    (spec, species, pos, box, grid, bins, sections, asn,
+     caps) = _angular_setup_asn()
+    n = pos.shape[0]
+    w = jax.random.normal(jax.random.PRNGKey(5), (spec.angular_length,),
+                          jnp.float64)
+    caps0 = tuple(max(4, c - 4) if c else 0 for c in caps)
+    tiers = ((caps0, n // 2), (caps, n))
+
+    def run(tri, tr):
+        monkeypatch.setenv("LAT_ANG_TRI", "1" if tri else "0")
+        out, deficit = apasn.angular_aev_asn(
+            spec, grid, bins, asn, pos, box, sections, caps, tiers=tr,
+            interpret=True)
+
+        def e(p, h):
+            b = nbops.Box(h=h, origin=box.origin)
+            o, _ = apasn.angular_aev_asn(spec, grid, bins, asn, p, b,
+                                         sections, caps, tiers=tr,
+                                         interpret=True)
+            return jnp.sum(o @ w)
+
+        g, gh = jax.grad(e, argnums=(0, 1))(pos, box.h)
+        return np.asarray(out), np.asarray(deficit), np.asarray(g), \
+            np.asarray(gh)
+
+    for tr in (None, tiers):
+        o_t, d_t, g_t, gh_t = run(True, tr)
+        o_f, d_f, g_f, gh_f = run(False, tr)
+        np.testing.assert_allclose(o_t, o_f, atol=1e-12, rtol=0)
+        np.testing.assert_array_equal(d_t, d_f)
+        np.testing.assert_allclose(g_t, g_f, atol=1e-12)
+        np.testing.assert_allclose(gh_t, gh_f, atol=1e-12)
+
+
 def test_asn_angular_tier_spill_reports_deficit():
     """Rows beyond the LAST tier's row capacity cannot cascade anywhere:
     the trailing deficit entry must report them (run() grows the
