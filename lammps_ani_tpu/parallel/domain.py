@@ -473,6 +473,152 @@ def build_neighbor_matrix_brick(
     return idx, nbr_mask, max_deg
 
 
+def auto_domain_spec(n_atoms: int, box_h, mesh_shape, rlist: float,
+                     k_max: int = 160, slack: float = 1.3,
+                     n_slack: float = 1.15) -> DomainSpec:
+    """Geometry-derived capacities: per-shard atom slots from the mean
+    brick occupancy, per-stage halo slots from the rlist slab volumes
+    (each axis stage sources locals + earlier-stage ghosts, the LAMMPS
+    staging rule). Every capacity is a starting point — run()'s
+    structured overflow regrow owns correctness, this just avoids the
+    first few regrow recompiles."""
+    h = np.asarray(box_h, np.float64)
+    v = abs(np.dot(h[0], np.cross(h[1], h[2])))
+    perp = np.array([
+        v / np.linalg.norm(np.cross(h[1], h[2])),
+        v / np.linalg.norm(np.cross(h[2], h[0])),
+        v / np.linalg.norm(np.cross(h[0], h[1])),
+    ])
+    ns = int(np.prod(mesh_shape))
+    n_cap = int(-(-int(n_atoms / ns * n_slack + 64) // 8) * 8)
+    n_src = n_cap
+    halo = []
+    for a in range(3):
+        send_frac = min(rlist * mesh_shape[a] / perp[a], 1.0)
+        cap = int(-(-int(n_src * send_frac * slack + 128) // 8) * 8)
+        halo.append(cap)
+        n_src += 2 * cap
+    return DomainSpec(mesh_shape=tuple(mesh_shape), n_cap=n_cap,
+                      halo_cap=tuple(halo),
+                      mig_cap=max(256, n_cap // 16), k_max=k_max)
+
+
+# ---------------------------------------------------------------------------
+# Brick-local roll grid (sharded assignment-compacted AEV path)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class BrickRollGrid:
+    """Per-brick bin geometry for the sharded `pallas_asn` engine.
+
+    The single-device Mosaic kernels (ops/aev_asn.py) assume a PERIODIC
+    grid: candidate windows come from periodic halo pads and the wing
+    fold-back uses wrapping rolls. A brick is not periodic — so the brick
+    grid carries one EMPTY pad-cell layer on each side: every occupied
+    cell (owned atoms in the brick, halo ghosts in the rlist margin) is
+    interior, its 27-window never wraps, and the wrapping that does occur
+    touches only empty cells. The kernels then run UNCHANGED per shard;
+    all wrap-shift tables contract zero gamma, and the box cotangent
+    flows through the halo stages' periodic shifts instead
+    (halo_stage_positions). This is how the reference keeps ONE kernel
+    path for single- and multi-GPU (pair_ani_kokkos.cpp:143-191: the
+    same cuaev kernels under domain decomposition).
+
+    Static across shards (bricks are congruent); the brick's fractional
+    origin — the only shard-dependent input — is traced from the mesh
+    axis index at bin time."""
+
+    ncells: tuple[int, int, int]  # per axis, INCLUDING the 2 pad layers
+    cap: int  # slots per cell
+    margin_frac: tuple[float, float, float]  # halo margin, box fractions
+    cell_frac: tuple[float, float, float]  # cell size, box fractions
+
+    @property
+    def roll(self):
+        """The RollGrid the aev_asn kernels see."""
+        from ..ops import cell_roll as crmod
+        return crmod.RollGrid(ncells=self.ncells, cap=self.cap)
+
+    @staticmethod
+    def for_box(box_h, mesh_shape, rlist: float, side_min: float,
+                cap: int):
+        """Cells of perpendicular side >= side_min covering one brick
+        plus its rlist halo margin, plus the empty pad layer."""
+        h = np.asarray(box_h, np.float64)
+        v = abs(np.dot(h[0], np.cross(h[1], h[2])))
+        perp = np.array([
+            v / np.linalg.norm(np.cross(h[1], h[2])),
+            v / np.linalg.norm(np.cross(h[2], h[0])),
+            v / np.linalg.norm(np.cross(h[0], h[1])),
+        ])
+        ncells, margins, cells = [], [], []
+        for a in range(3):
+            margin = rlist / perp[a]
+            occ_frac = 1.0 / mesh_shape[a] + 2.0 * margin
+            n_occ = int(np.floor(occ_frac * perp[a] / side_min))
+            if n_occ < 1:
+                return None
+            ncells.append(n_occ + 2)
+            margins.append(float(margin))
+            cells.append(float(occ_frac / n_occ))
+        return BrickRollGrid(ncells=tuple(ncells), cap=cap,
+                             margin_frac=tuple(margins),
+                             cell_frac=tuple(cells))
+
+
+def build_bins_brick(bgrid: BrickRollGrid, mesh_shape, pos_ext, species_ext,
+                     valid_ext, box):
+    """RollBins over a brick's extended atoms (runs under shard_map).
+
+    Halo positions are already physically shifted, so box-fractional
+    coordinates are continuous around the brick; atoms land in the
+    occupied cell layers [1, ncells-2] by construction (clipped for edge
+    rounding). Invalid slots are dropped from the grid and point their
+    cell/slot at (0, 0) — an empty pad cell whose AEV row is finite and
+    masked downstream; their position cotangent is zeroed by the caller
+    (jnp.where on valid_ext)."""
+    from ..ops import cell_roll as crmod
+
+    m = pos_ext.shape[0]
+    dtype = pos_ext.dtype
+    frac = box.to_fractional(pos_ext)
+    lo = jnp.stack([_axis_index(a, mesh_shape).astype(dtype) / mesh_shape[a]
+                    for a in range(3)])
+    marg = jnp.asarray(bgrid.margin_frac, dtype)
+    cf = jnp.asarray(bgrid.cell_frac, dtype)
+    nc = jnp.asarray(bgrid.ncells, jnp.int32)
+    # grid origin = brick_lo - margin - one pad cell; extent = cf * ncells
+    u = (frac - (lo - marg - cf)[None, :]) / (cf * nc.astype(dtype))[None, :]
+    cc = jnp.clip((u * nc.astype(dtype)).astype(jnp.int32), 1, nc - 2)
+    cell = (cc[:, 0] * bgrid.ncells[1] + cc[:, 1]) * bgrid.ncells[2] \
+        + cc[:, 2]
+
+    total, cap = bgrid.roll.total, bgrid.cap
+    sentinel = total
+    ids = jnp.where(valid_ext, cell, sentinel)
+    order = jnp.argsort(ids)
+    ids_sorted = ids[order]
+    first = jnp.searchsorted(ids_sorted, ids_sorted, side="left")
+    rank_sorted = jnp.arange(m, dtype=jnp.int32) - first.astype(jnp.int32)
+    slot = jnp.zeros((m,), jnp.int32).at[order].set(rank_sorted)
+    count_max = jnp.max(
+        jnp.where(ids_sorted < sentinel, rank_sorted, -1)) + 1
+    ok = valid_ext & (slot < cap)
+    species_grid = jnp.full((total, cap), -1, jnp.int32)
+    species_grid = species_grid.at[
+        jnp.where(ok, cell, total), jnp.where(ok, slot, 0)
+    ].set(jnp.where(valid_ext, species_ext, -1), mode="drop")
+    flat = jnp.where(ok, cell * cap + jnp.minimum(slot, cap - 1),
+                     total * cap)
+    inv = jnp.full((total * cap,), m, jnp.int32)
+    inv = inv.at[flat].set(jnp.arange(m, dtype=jnp.int32), mode="drop")
+    return crmod.RollBins(
+        cell=jnp.where(valid_ext, cell, 0),
+        slot=jnp.where(valid_ext, jnp.minimum(slot, cap - 1), 0),
+        species_grid=species_grid, mask_grid=species_grid >= 0,
+        count_max=count_max, inv=inv.reshape(total, cap))
+
+
 # ---------------------------------------------------------------------------
 # Ext-rowed neighbor build (mirror-force support, ops/nbr_grad.py)
 # ---------------------------------------------------------------------------

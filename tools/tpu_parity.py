@@ -6,8 +6,14 @@ to every CPU test. This script runs the COMPILED Mosaic kernels on the
 real device at a small size and compares energies/forces/virials against
 the generic neighbor-matrix oracle in f32.
 
-Usage: python tools/tpu_parity.py [n_rep]      (default 3 -> 810 atoms)
+Usage: python tools/tpu_parity.py [n_rep]      (default 6 -> 6,480 atoms)
 Prints one JSON line {"parity": "PASS"|"FAIL", ...}; exit code 1 on FAIL.
+
+Default n_rep 6 (not 3): occupancy-tiered dispatch only engages at
+n >= LAT_ANG_TIER_MIN_N (4096), so the gate must run above it or the
+compiled tiered/partition path that produces the headline number is
+never parity-checked on hardware (VERDICT r3 weak #3 — both round-2 f32
+landmines were invisible to interpret mode).
 """
 
 import json
@@ -26,13 +32,15 @@ def main():
     from lammps_ani_tpu.io import lammps_data as ldio
     from lammps_ani_tpu.models import zoo
 
-    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_rep = int(sys.argv[1]) if len(sys.argv) > 1 else 6
     data = ldio.replicate(
         ldio.read_lammps_data("/root/reference/tests/water-0.8nm.data"),
         n_rep, n_rep, n_rep)
     pot = zoo.ani2x(num_models=1, dtype=jnp.float32)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
                   origin=jnp.asarray(data.box_origin, jnp.float32))
+
+    tiers_seen = {}
 
     def one_step(impl, cellroll):
         os.environ["LAT_ROLL_IMPL"] = impl
@@ -42,10 +50,13 @@ def main():
             nbr=lat.NeighborConfig(cutoff=5.1, skin=1.0, ang_skin=1.0,
                                    k_max=160,
                                    ghost_capacity=max(2048, data.n_atoms),
-                                   rebuild_every=2),
+                                   rebuild_every=2,
+                                   use_cell_list=n_rep >= 3),
             dt=0.25, dtype=jnp.float32, cellroll=cellroll)
         st = sim.init_state(data.positions, box, temp=300.0, seed=3)
         st, _ = sim.run(st, 2)
+        tiers_seen[impl] = [[list(c), r] for c, r in (sim._ang_tiers
+                                                      or ())]
         return (sim.positions_input_order(st),
                 sim.forces_input_order(st),
                 float(st.pe), np.asarray(st.virial))
@@ -78,6 +89,7 @@ def main():
     print(json.dumps({
         "parity": status,
         "n_atoms": data.n_atoms,
+        "ang_tiers": tiers_seen.get("pallas_asn"),
         "device": str(jax.devices()[0]),
         "checks": {k: (v if isinstance(v, str)
                        else {kk: float(f"{vv:.3e}") for kk, vv in v.items()})
