@@ -171,18 +171,13 @@ class DomainSimulation:
         use_cells = (self._use_brick_cells
                      if self._use_brick_cells is not None
                      else self.dspec.n_cap >= 2048)
-        if use_cells and not isinstance(self.integrator,
-                                        integrate.NoseHooverNPT):
+        if use_cells:
             # per-brick O(n) cell build (VERDICT r1 #3; the brute build is
-            # O(n_cap * n_ext)). NPT keeps the brute build until brick
-            # grids track the box like the single-device engine's.
-            density = n / float(np.prod(np.diag(
-                np.asarray(jax.device_get(box.h)))))
-            cap = int(-(-int(self.rlist ** 3 * density * 2.0 + 4) // 8) * 8)
-            self._brick_grid = domain.BrickGrid.for_box(
-                np.asarray(jax.device_get(box.h)), self.dspec.mesh_shape,
-                self.rlist, cap)
-            self._chunk_cache = {}
+            # O(n_cap * n_ext)). Under NPT the grid is derived with slack
+            # and revalidated against the current box each chunk
+            # (_brick_grid_valid) — the single-device _grids_valid
+            # pattern (VERDICT r3 weak #6 closed).
+            self._setup_brick_grid(n, jax.device_get(box.h))
         want_asn = (
             self._roll_impl == "pallas_asn"
             and not isinstance(self.integrator, integrate.NoseHooverNPT)
@@ -279,6 +274,40 @@ class DomainSimulation:
             self._probe_asn_cap(state)
         self._log_engine()
         return state
+
+    def _setup_brick_grid(self, n, box_h):
+        """(Re-)derive the per-brick neighbor cell grid from the CURRENT
+        box, with slack under a barostat so re-derives stay rare."""
+        slack = 1.06 if isinstance(self.integrator,
+                                   integrate.NoseHooverNPT) else 1.0
+        density = n / float(abs(np.linalg.det(np.asarray(box_h))))
+        cap = int(-(-int(self.rlist ** 3 * density * 2.0 + 4) // 8) * 8)
+        old = self._brick_grid
+        # slack inflates both the cell side and the halo margin (rlist *
+        # slack) so a <6% barostat shrink keeps the frozen fractions
+        # covering the true rlist
+        self._brick_grid = domain.BrickGrid.for_box(
+            np.asarray(box_h), self.dspec.mesh_shape,
+            self.rlist * slack, max(cap, old.cell_capacity if old else 0))
+        self._chunk_cache = {}
+
+    def _brick_grid_valid(self, box_h) -> bool:
+        """Whether the frozen brick grid still covers rlist for the given
+        (possibly barostat-rescaled) box: the halo margin must still span
+        rlist in box fractions, and cells must not have shrunk below it."""
+        g = self._brick_grid
+        if g is None:
+            return True
+        perp = self._perp_np(box_h)
+        for a in range(3):
+            margin = g.margin_frac[a] * perp[a]
+            if margin < self.rlist:
+                return False
+            brick = perp[a] / self.dspec.mesh_shape[a]
+            side = (brick + 2.0 * margin) / g.ncells[a]
+            if side < self.rlist:
+                return False
+        return True
 
     # ---------------- sharded asn setup (host) ----------------
 
@@ -795,6 +824,14 @@ class DomainSimulation:
         done = 0
         recap_attempts = 0
         while done < n_steps:
+            if (isinstance(self.integrator, integrate.NoseHooverNPT)
+                    and self._brick_grid is not None):
+                bh = np.asarray(jax.device_get(state.box.h))
+                if not self._brick_grid_valid(bh):
+                    # box rescaled past the frozen grid's slack:
+                    # re-derive (one recompile), like the single-device
+                    # _grids_valid/_setup_grids machinery
+                    self._setup_brick_grid(self.n_global, bh)
             take = min(self.rebuild_every, n_steps - done)
             new_state, traj, disp, overflow, n_done = self._jitted_chunk(
                 take)(state, self.potential)
