@@ -66,18 +66,29 @@ def main():
     from lammps_ani_tpu.parallel.domain import DomainSpec
     from lammps_ani_tpu.parallel.sim import DomainSimulation
 
-    data = read_lammps_data(cfg["data"])
+    data = read_lammps_data(cfg["data"])  # fastio native reader when built
     # ANI-1xnr: the reference's reactive model for this campaign
     # (/root/reference/models/ani_models.py:40-53)
     pot = zoo.ani1xnr(num_models=int(cfg["num_models"]), dtype=jnp.float32)
 
+    if cfg.get("auto_spec"):
+        # geometry-derived capacities (parallel/domain.auto_domain_spec):
+        # the >=50k validation configs use this so the run exercises real
+        # capacity pressure instead of hand-padded buffers (VERDICT r3 #9)
+        from lammps_ani_tpu.parallel.domain import auto_domain_spec
+        dspec = auto_domain_spec(
+            data.n_atoms, data.box_h, tuple(cfg["mesh_shape"]),
+            float(cfg["cutoff"]) + float(cfg["skin"]),
+            k_max=int(cfg["k_max"]))
+    else:
+        dspec = DomainSpec(mesh_shape=tuple(cfg["mesh_shape"]),
+                           n_cap=int(cfg["n_cap"]),
+                           halo_cap=tuple(cfg["halo_cap"]),
+                           mig_cap=int(cfg["mig_cap"]),
+                           k_max=int(cfg["k_max"]))
     dsim = DomainSimulation(
         potential=pot,
-        dspec=DomainSpec(mesh_shape=tuple(cfg["mesh_shape"]),
-                         n_cap=int(cfg["n_cap"]),
-                         halo_cap=tuple(cfg["halo_cap"]),
-                         mig_cap=int(cfg["mig_cap"]),
-                         k_max=int(cfg["k_max"])),
+        dspec=dspec,
         cutoff=float(cfg["cutoff"]), skin=float(cfg["skin"]),
         rebuild_every=int(cfg["rebuild_every"]), dt=float(cfg["dt"]),
         integrator=integrate.NoseHoover(
@@ -103,6 +114,18 @@ def main():
         path = f"{cfg['restart_prefix']}{i}.npz"
         dsim.save_restart(path, state)
         print(f"# wrote {path}", flush=True)
+
+    # end-of-campaign invariants: finite total energy and migration
+    # conservation — every atom still owned by exactly one shard after
+    # all rebuild/migration cycles (the multi-node sanity the reference
+    # gets implicitly from its stability inputs,
+    # /root/reference/examples/benchmark/in.stability.lammps)
+    assert np.isfinite(rows[-1]["etotal"]), rows[-1]
+    gid = np.asarray(jax.device_get(state.gid))
+    got = np.sort(gid[gid >= 0])
+    assert np.array_equal(got, np.arange(data.n_atoms)), (
+        f"migration lost/duplicated atoms: {len(got)} vs {data.n_atoms}")
+    print(f"# invariants OK: etotal finite, {len(got)} atoms conserved")
 
     # quick reaction readout (the full pipeline is
     # examples/combustion/analyze_traj.py over dumped frames)

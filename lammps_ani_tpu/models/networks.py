@@ -133,14 +133,24 @@ def _nn_precision():
     return _os.environ.get("LAT_NN_PRECISION") or None
 
 
-def _mlp_stack(layers, x, celu_alpha: float):
-    """x: [m, n, aev] -> [m, n] atomic energies (one species net, m models)."""
+def _mlp_stack(layers, x, celu_alpha: float, col_idx=None):
+    """x: [m, n, aev] -> [m, n] atomic energies (one species net, m models).
+
+    `col_idx` (static tuple): compact-AEV mode — x carries only these
+    columns of the full torchani AEV layout, so the first layer's weight
+    rows are gathered to match (the gather is a tiny [aev, d0] slice,
+    hoisted/CSE'd by XLA; the win is that absent species-pair zero
+    blocks never exist as [n, aev] data — at 101k water that deletes
+    ~800 MB/step of dead AEV + cotangent traffic and 8/10 of the first
+    matmul's FLOPs)."""
     dtype = x.dtype
     prec = _nn_precision()
     h = x
     n_layers = len(layers)
     for li, layer in enumerate(layers):
         w = layer["w"].astype(dtype)
+        if li == 0 and col_idx is not None:
+            w = w[:, jnp.asarray(col_idx, jnp.int32), :]
         b = layer["b"].astype(dtype)
         h = (
             jnp.einsum("mni,mio->mno", h, w, preferred_element_type=dtype,
@@ -156,8 +166,9 @@ def atomic_energies_masked(
     spec: NetworkSpec,
     params,
     species: jax.Array,  # [n] int32, -1 = ghost/padding
-    aev: jax.Array,  # [n, aev_length]
+    aev: jax.Array,  # [n, aev_length] (or [n, len(col_idx)] compact)
     present: tuple | None = None,  # static species subset (composition)
+    col_idx: tuple | None = None,  # static compact-AEV column map
 ) -> jax.Array:
     """[m, n] per-atom energies; every net runs on all atoms, masked combine.
 
@@ -170,7 +181,7 @@ def atomic_energies_masked(
     x = jnp.broadcast_to(aev[None], (num_models, n, aev.shape[1]))
     out = jnp.zeros((num_models, n), aev.dtype)
     for s in (range(spec.num_species) if present is None else present):
-        e_s = _mlp_stack(params[s], x, spec.celu_alpha)
+        e_s = _mlp_stack(params[s], x, spec.celu_alpha, col_idx=col_idx)
         out = jnp.where((species == s)[None, :], e_s, out)
     return jnp.where((species >= 0)[None, :], out, 0.0)
 
@@ -180,6 +191,7 @@ def atomic_energies_sorted(
     params,
     species_counts: Sequence[int],  # static per-species atom counts
     aev_sorted: jax.Array,  # [n, aev_length], rows grouped by species
+    col_idx: tuple | None = None,  # static compact-AEV column map
 ) -> jax.Array:
     """[m, n] per-atom energies for species-sorted atoms with static counts.
 
@@ -195,7 +207,8 @@ def atomic_energies_sorted(
             continue
         x = aev_sorted[offset : offset + count]
         x = jnp.broadcast_to(x[None], (num_models, count, x.shape[1]))
-        pieces.append(_mlp_stack(params[s], x, spec.celu_alpha))
+        pieces.append(_mlp_stack(params[s], x, spec.celu_alpha,
+                                 col_idx=col_idx))
         offset += count
     out = jnp.concatenate(pieces, axis=1) if pieces else jnp.zeros((num_models, 0))
     if offset < n:  # padding tail

@@ -433,12 +433,19 @@ def atomic_energies_asn(
         "assignment path needs composition-derived angular_caps")
     grid, bins, asn, sect = asn_state[:4]
     tiers = asn_state[4] if len(asn_state) > 4 else None
-    radial, e_rep = apasn.radial_aev_asn(
-        spec.aev, grid, bins, asn, pos, box, sect,
-        repulsion=spec.repulsion, n_out=n_out)
-    angular, deficit = apasn.angular_aev_asn(
+    # Fused both-channels op: one window-geometry pass forward, one
+    # summed wing/fold/dh backward (ops/aev_asn.aev_asn_fused) — the two
+    # channels share the frozen assignment, so per-channel kernels
+    # computed identical geometry twice and ran duplicate decompacts.
+    # Compact AEV columns: absent species' radial sections and absent
+    # species-pair angular blocks never exist as data — the NN gathers
+    # the matching first-layer weight rows instead (networks._mlp_stack).
+    # At water composition this shrinks [n, 1008] AEV + cotangent buffers
+    # to [n, 128] (2 radial sections + 3 pair blocks), deleting ~800 MB
+    # of dead traffic per step at the 101k bench box.
+    radial, e_rep, angular, deficit = apasn.aev_asn_fused(
         spec.aev, grid, bins, asn, pos, box, sect, spec.angular_caps,
-        tiers=tiers, n_out=n_out)
+        tiers=tiers, repulsion=spec.repulsion, n_out=n_out)
     if local_mask is None:
         local_mask = species >= 0
     else:
@@ -446,15 +453,24 @@ def atomic_energies_asn(
     aev = jnp.concatenate([radial, angular], axis=1)
     aev = jnp.where(local_mask[:, None], aev, 0.0)
 
+    n_shf = len(spec.aev.shf_r) * len(spec.aev.eta_r)
+    srl_full_off = spec.aev.num_species * n_shf
+    asub = spec.aev.angular_sublength
+    chans = apasn.present_channels(spec.aev, spec.angular_caps, sect)
+    col_idx = tuple(
+        [s * n_shf + j for s, _ in sect for j in range(n_shf)]
+        + [srl_full_off + ch0 + j for ch0 in chans for j in range(asub)])
+
     def nn(aev):
         with jax.named_scope("nn_forward"):
             if species_counts is not None:
                 atomic = netmod.atomic_energies_sorted(
-                    spec.net, pot.params, species_counts, aev)
+                    spec.net, pot.params, species_counts, aev,
+                    col_idx=col_idx)
             else:
                 atomic = netmod.atomic_energies_masked(
                     spec.net, pot.params, species, aev,
-                    present=present_species)
+                    present=present_species, col_idx=col_idx)
             return netmod.ensemble_energies(atomic)
 
     # Large boxes: rematerialize the MLP activations in the backward

@@ -405,11 +405,12 @@ def _t_env(name, t):
 
 def _t_chain(cap, kpad, nc_pad):
     """Cell rows per chain/assemble kernel instance (kpad-wide temps
-    only: gvx/gvy/gvz + per-chunk stage-2 and dh gather temps — modeled
-    at ~30 live [row, kpad] f32 planes, conservative until a measured
-    stack calibrates it)."""
+    only: gvx/gvy/gvz + per-chunk stage-2 and dh gather temps + the
+    fused path's 3 radial gamma inputs). Calibrated against a measured
+    16.25 MB stack for _chain_sum_kernel at t=16, cap 36, kpad 128
+    (~55 live [row*cap, kpad] f32 planes; modeled at 60 for headroom)."""
     t = 32
-    while t > 1 and (t * cap * kpad * 4 * 30 >= 13 * 2 ** 20
+    while t > 1 and (t * cap * kpad * 4 * 60 >= 13 * 2 ** 20
                      or t > nc_pad or nc_pad % t):
         t //= 2
     return _t_env("ASN_T_CHAIN", t)
@@ -656,7 +657,8 @@ def _rep_pair(rep, dist, a_ij, z_ij, valid, dtype):
 
 
 def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
-                           *, spec, rep, cap, sections, kpad, wpad, dtype):
+                           *, spec, rep, cap, sections, kpad, wpad,
+                           compact_cols, dtype):
     eta, mu0, delta, steps = _radial_consts(spec, dtype)
     rc = spec.radial_cutoff
     n_shf = len(spec.shf_r)
@@ -676,8 +678,10 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
     for k in range(n_shf):
         xk = x - k * delta
         t = pref * jnp.exp(-eta * xk * xk)
-        for s, _ in sections:
-            out[:, :, s * n_shf + k] = _row_sum(t * masks[s], t_rows, cap)
+        for si, (s, _) in enumerate(sections):
+            # compact_cols: present-species sections only, packed
+            col = (si if compact_cols else s) * n_shf + k
+            out[:, :, col] = _row_sum(t * masks[s], t_rows, cap)
 
     if rep is not None:
         a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
@@ -693,18 +697,15 @@ def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
         out[:, :, out.shape[-1] - 1] = _row_sum(e, t_rows, cap)
 
 
-def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
-                           sh, gx_o, gy_o, gz_o, fcen, dh,
-                           *, spec, rep, cap, sections, kpad, wpad, dtype):
+def _radial_gamma_core(spec, rep, sections, masks, pcs, ga, iv, ax, ay,
+                       az, dist, valid, t_rows, cap, kpad, compact_cols,
+                       dtype):
+    """Shared radial-backward body: (gx, gy, gz) [R, kpad] compact-lane
+    vector cotangents from the radial (+ repulsion) AEV cotangent."""
     eta, mu0, delta, steps = _radial_consts(spec, dtype)
     rc = spec.radial_cutoff
     n_shf = len(spec.shf_r)
-    t_rows = px.shape[0]
     r_rows = t_rows * cap
-
-    iv, ax, ay, az, dist, valid = _compact_geometry(
-        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
-    masks = _sec_masks(sections, r_rows, kpad, dtype)
     in_cut = valid & (dist <= rc)
     fc = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
                    jnp.zeros((), dtype))
@@ -719,9 +720,10 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
         xk = x - k * delta
         e = jnp.exp(-eta * xk * xk)
         db = 0.25 * e * (dfc - (2.0 * eta) * xk * fc)
-        for s, _ in sections:
+        for si, (s, _) in enumerate(sections):
+            col = (si if compact_cols else s) * n_shf + k
             gamma = gamma + _mul_rows(db * masks[s],
-                                      gav3[:, :, s * n_shf + k],
+                                      gav3[:, :, col],
                                       t_rows, cap)
 
     if rep is not None:
@@ -732,9 +734,22 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
                                   t_rows, cap)
 
     inv_d = 1.0 / dist
-    gx = gamma * ax * inv_d
-    gy = gamma * ay * inv_d
-    gz = gamma * az * inv_d
+    return gamma * ax * inv_d, gamma * ay * inv_d, gamma * az * inv_d
+
+
+def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
+                           sh, gx_o, gy_o, gz_o, fcen, dh,
+                           *, spec, rep, cap, sections, kpad, wpad,
+                           compact_cols, dtype):
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    masks = _sec_masks(sections, r_rows, kpad, dtype)
+    gx, gy, gz = _radial_gamma_core(
+        spec, rep, sections, masks, pcs, ga, iv, ax, ay, az, dist, valid,
+        t_rows, cap, kpad, compact_cols, dtype)
 
     # center force here; the wpad-wide wing decompact runs in its own
     # kernel (`_wing_kernel`, shared with the angular channel) — the
@@ -756,8 +771,30 @@ def _radial_bwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
                                          gx, gy, gz, dtype)
 
 
+def _radial_gamma_only_kernel(px, py, pz, pcs, cx, cy, cz, idxr, ga,
+                              gx_o, gy_o, gz_o,
+                              *, spec, rep, cap, sections, kpad, wpad,
+                              compact_cols, dtype):
+    """Fused-path radial backward: ONLY the compact-lane vector
+    cotangents — center force, dh, and the wing decompact are produced
+    once from the SUMMED radial+angular cotangents downstream
+    (_chain_sum_kernel + one _wing_kernel), instead of per channel."""
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    masks = _sec_masks(sections, r_rows, kpad, dtype)
+    gx, gy, gz = _radial_gamma_core(
+        spec, rep, sections, masks, pcs, ga, iv, ax, ay, az, dist, valid,
+        t_rows, cap, kpad, compact_cols, dtype)
+    gx_o[...] = gx.reshape(t_rows, cap, kpad)
+    gy_o[...] = gy.reshape(t_rows, cap, kpad)
+    gz_o[...] = gz.reshape(t_rows, cap, kpad)
+
+
 def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, n_out,
-                     pos, h, inv_bins, csp_grid, cell, slot, aidx):
+                     compact_cols, pos, h, inv_bins, csp_grid, cell, slot,
+                     aidx):
     cap = grid.cap
     nc = grid.total
     dtype = pos.dtype
@@ -767,10 +804,12 @@ def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, n_out,
         grid, inv_bins, csp_grid, pos, h, wpad)
     aidx_p = _pad_rows(aidx, nc_pad, wpad)
 
-    srl = spec.num_species * len(spec.shf_r) * len(spec.eta_r)
+    n_sp = len(sections) if compact_cols else spec.num_species
+    srl = n_sp * len(spec.shf_r) * len(spec.eta_r)
     kern = functools.partial(
         _radial_fwd_asn_kernel, spec=spec, rep=rep, cap=cap,
-        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+        sections=sections, kpad=kpad, wpad=wpad,
+        compact_cols=compact_cols, dtype=dtype)
     t = _t_cells(cap, wpad)
     out = pl.pallas_call(
         kern,
@@ -791,8 +830,8 @@ def _radial_asn_impl(spec, grid, sections, kpad, rep, interpret, n_out,
 
 
 def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, n_out,
-                         pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv,
-                         ga_flat, grep_flat):
+                         compact_cols, pos, h, inv_bins, csp_grid, cell,
+                         slot, aidx, ainv, ga_flat, grep_flat):
     cap = grid.cap
     nc = grid.total
     dtype = pos.dtype
@@ -815,7 +854,8 @@ def _radial_asn_bwd_impl(spec, grid, sections, kpad, rep, interpret, n_out,
     srl = ga_flat.shape[-1]
     kern = functools.partial(
         _radial_bwd_asn_kernel, spec=spec, rep=rep, cap=cap,
-        sections=sections, kpad=kpad, wpad=wpad, dtype=dtype)
+        sections=sections, kpad=kpad, wpad=wpad,
+        compact_cols=compact_cols, dtype=dtype)
     t = _t_rgam(cap, kpad, wpad, nc_pad)
     gx, gy, gz, fcen, dh_pad = pl.pallas_call(
         kern,
@@ -862,29 +902,32 @@ def _fold_wing_pad(grid, fcen, wing, nc, wpad):
     return _fold_wing(grid, 1, 1, fcen, wing[:, :, :, :w], nc)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
 def _radial_asn_flat(spec, grid, sections, kpad, rep, interpret, n_out,
-                     pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
+                     compact_cols, pos, h, inv_bins, csp_grid, cell, slot,
+                     aidx, ainv):
     return _radial_asn_impl(spec, grid, sections, kpad, rep, interpret,
-                            n_out, pos, h, inv_bins, csp_grid, cell, slot,
-                            aidx)
+                            n_out, compact_cols, pos, h, inv_bins,
+                            csp_grid, cell, slot, aidx)
 
 
 def _radial_asn_fwd(spec, grid, sections, kpad, rep, interpret, n_out,
-                    pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv):
+                    compact_cols, pos, h, inv_bins, csp_grid, cell, slot,
+                    aidx, ainv):
     out = _radial_asn_impl(spec, grid, sections, kpad, rep, interpret,
-                           n_out, pos, h, inv_bins, csp_grid, cell, slot,
-                           aidx)
+                           n_out, compact_cols, pos, h, inv_bins,
+                           csp_grid, cell, slot, aidx)
     return out, (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv)
 
 
 def _radial_asn_bwd(spec, grid, sections, kpad, rep, interpret, n_out,
-                    res, g):
+                    compact_cols, res, g):
     ga, grep = g
     pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv = res
     dpos, dh = _radial_asn_bwd_impl(
-        spec, grid, sections, kpad, rep, interpret, n_out, pos, h,
-        inv_bins, csp_grid, cell, slot, aidx, ainv, ga, grep)
+        spec, grid, sections, kpad, rep, interpret, n_out, compact_cols,
+        pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv, ga, grep)
     return dpos, dh, None, None, None, None, None, None
 
 
@@ -892,7 +935,8 @@ _radial_asn_flat.defvjp(_radial_asn_fwd, _radial_asn_bwd)
 
 
 def radial_aev_asn(aev_spec, grid, bins, asn, pos, box, sections,
-                   repulsion=None, interpret=None, n_out=None):
+                   repulsion=None, interpret=None, n_out=None,
+                   compact_cols=False):
     """([n_out, S*R] radial AEV, [n_out] repulsion energies [Hartree]).
 
     Drop-in for radial_aev_pallas on the assignment path; `sections` is
@@ -901,14 +945,19 @@ def radial_aev_asn(aev_spec, grid, bins, asn, pos, box, sections,
 
     `n_out` (static): emit AEV rows only for the FIRST n_out binned atoms
     — the sharded path's owned atoms (ghosts contribute environment and
-    receive forces through dpos, but need no AEV/energy rows)."""
+    receive forces through dpos, but need no AEV/energy rows).
+
+    `compact_cols` (static): emit only the present species' radial
+    sections (packed in `sections` order) instead of the full
+    num_species layout with zero columns for absent species; the
+    cotangent must arrive in the same compact layout."""
     if interpret is None:
         interpret = _interpret_default()
     kpad = asn.idx.shape[-1]
     return _radial_asn_flat(aev_spec, grid, sections, kpad, repulsion,
-                            interpret, n_out, pos, box.h, bins.inv,
-                            bins.species_grid, bins.cell, bins.slot,
-                            asn.idx, asn.inv)
+                            interpret, n_out, compact_cols, pos, box.h,
+                            bins.inv, bins.species_grid, bins.cell,
+                            bins.slot, asn.idx, asn.inv)
 
 
 # ---------------------------------------------------------------------------
@@ -1036,6 +1085,62 @@ def _compact_asn_kernel(px, py, pz, cx, cy, cz, idxr, *refs,
     t_rows = px.shape[0]
     iv, ax, ay, az, dist, valid = _compact_geometry(
         px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    packed, deficit, rank2 = _stage2_compact(
+        spec, sections, caps, ax, ay, az, dist, valid, t_rows, cap,
+        kpad, dtype)
+    for key in _COMPACT_KEYS:
+        out_refs[key][...] = packed[key]
+    rank_o[...] = rank2.reshape(t_rows, cap, kpad)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        ovf[...] = jnp.full_like(ovf[...], -(2.0 ** 20))
+
+    ovf[...] = jnp.maximum(ovf[...], deficit)
+
+
+def _step_fused_kernel(px, py, pz, pcs, cx, cy, cz, idxr, *refs,
+                       spec, rep, cap, caps, sections, kpad, wpad,
+                       compact_cols, dtype):
+    """Fused per-step forward: ONE window geometry pass (the compact-lane
+    coordinate gathers + distances, ~40% of each channel kernel's work)
+    serves BOTH the radial basis (+ repulsion side channel) and the
+    angular stage-2 compaction. Both channels read the same frozen
+    assignment, so splitting them (round 3) computed identical geometry
+    twice per step — measured 8.9 ms (radial fwd) + 7.6 ms (stage-2)
+    at the 101k bench box."""
+    rad_o = refs[0]
+    out_refs = dict(zip(_COMPACT_KEYS, refs[1:7]))
+    rank_o, ovf = refs[7], refs[8]
+    t_rows = px.shape[0]
+    r_rows = t_rows * cap
+    iv, ax, ay, az, dist, valid = _compact_geometry(
+        px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
+    masks = _sec_masks(sections, r_rows, kpad, dtype)
+
+    # radial channel
+    eta, mu0, delta, steps = _radial_consts(spec, dtype)
+    rc = spec.radial_cutoff
+    n_shf = len(spec.shf_r)
+    in_cut = valid & (dist <= rc)
+    fcr = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
+                    jnp.zeros((), dtype))
+    x = jnp.minimum(dist, rc + 1.0) - mu0
+    pref = 0.25 * fcr
+    rad_o[...] = jnp.zeros_like(rad_o[...])
+    for k in range(n_shf):
+        xk = x - k * delta
+        t = pref * jnp.exp(-eta * xk * xk)
+        for si, (s, _) in enumerate(sections):
+            col = (si if compact_cols else s) * n_shf + k
+            rad_o[:, :, col] = _row_sum(t * masks[s], t_rows, cap)
+    if rep is not None:
+        a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
+                                 cap, dtype)
+        e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
+        rad_o[:, :, rad_o.shape[-1] - 1] = _row_sum(e, t_rows, cap)
+
+    # angular stage-2 compaction
     packed, deficit, rank2 = _stage2_compact(
         spec, sections, caps, ax, ay, az, dist, valid, t_rows, cap,
         kpad, dtype)
@@ -1479,26 +1584,15 @@ def _run_tri_bwd(spec, a, arm, ga_blk, rows_t, r, interpret, dtype):
     return outs
 
 
-def _decompact_chain_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc,
-                            cdfc, gux, guy, guz, gd, gfc, sh,
-                            gtx_o, gty_o, gtz_o, fcen, dh,
-                            *, spec, cap, caps, sections, kpad, atot,
-                            dtype):
-    """Per-slot cotangents -> stage-1 lanes (one rank-indexed vreg gather
-    per quantity), center force + box cotangent. kpad-wide only — the
-    wpad-wide wing decompact runs in its own kernel (`_wing_kernel`) so
-    BOTH get much larger row blocks than the old monolith, whose wpad
-    stack temps capped it at 4 cells/instance (1024 instances at the
-    bench box, ~25 ms: the largest single kernel in the step trace)."""
-    t_rows = rank_r.shape[0]
-    r_rows = t_rows * cap
-    rank2 = rank_r[...].astype(jnp.int32).reshape(r_rows, kpad)
-    iv = idxr[...].astype(jnp.int32).reshape(r_rows, kpad)
-    refs = (cux, cuy, cuz, cd, cfc, cdfc)
-
-    # chain per-slot cotangents into per-slot vector cotangents g_vec on
-    # the packed A axis (small [T, cap, atot] arrays)
-    uxv, uyv, uzv, dv, fcv, dfcv = (r[...] for r in refs)
+def _chain_to_stage1(spec, compact_refs, g_refs, rank2, r_rows, t_rows,
+                     cap, kpad, atot, dtype):
+    """Per-slot cotangents -> stage-1 compact lanes: chain the packed-A
+    slot cotangents into vector cotangents, then one rank-indexed vreg
+    gather per quantity. Returns (gtx, gty, gtz) [r_rows, kpad]."""
+    cux, cuy, cuz, cd, cfc, cdfc = compact_refs
+    gux, guy, guz, gd, gfc = g_refs
+    uxv, uyv, uzv, dv, fcv, dfcv = (r[...] for r in
+                                    (cux, cuy, cuz, cd, cfc, cdfc))
     mask = dv < spec.angular_cutoff + 5.0
     inv_d = jnp.where(mask, 1.0 / dv, 0.0)
     gu_dot_u = (gux[...] * uxv + guy[...] * uyv + guz[...] * uzv)
@@ -1525,7 +1619,63 @@ def _decompact_chain_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc,
             chunks[ci].append(jnp.where(live[:, sl_], g, 0.0))
     cat = lambda ps: (jnp.concatenate(ps, axis=1) if len(ps) > 1
                       else ps[0])
-    gtx, gty, gtz = cat(chunks[0]), cat(chunks[1]), cat(chunks[2])
+    return cat(chunks[0]), cat(chunks[1]), cat(chunks[2])
+
+
+def _decompact_chain_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc,
+                            cdfc, gux, guy, guz, gd, gfc, sh,
+                            gtx_o, gty_o, gtz_o, fcen, dh,
+                            *, spec, cap, caps, sections, kpad, atot,
+                            dtype):
+    """Per-slot cotangents -> stage-1 lanes (one rank-indexed vreg gather
+    per quantity), center force + box cotangent. kpad-wide only — the
+    wpad-wide wing decompact runs in its own kernel (`_wing_kernel`) so
+    BOTH get much larger row blocks than the old monolith, whose wpad
+    stack temps capped it at 4 cells/instance (1024 instances at the
+    bench box, ~25 ms: the largest single kernel in the step trace)."""
+    t_rows = rank_r.shape[0]
+    r_rows = t_rows * cap
+    rank2 = rank_r[...].astype(jnp.int32).reshape(r_rows, kpad)
+    iv = idxr[...].astype(jnp.int32).reshape(r_rows, kpad)
+    gtx, gty, gtz = _chain_to_stage1(
+        spec, (cux, cuy, cuz, cd, cfc, cdfc), (gux, guy, guz, gd, gfc),
+        rank2, r_rows, t_rows, cap, kpad, atot, dtype)
+    gtx_o[...] = gtx.reshape(t_rows, cap, kpad)
+    gty_o[...] = gty.reshape(t_rows, cap, kpad)
+    gtz_o[...] = gtz.reshape(t_rows, cap, kpad)
+
+    fcen[:, 0, :] = _row_sum(gtx, t_rows, cap)
+    fcen[:, 1, :] = _row_sum(gty, t_rows, cap)
+    fcen[:, 2, :] = _row_sum(gtz, t_rows, cap)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dh[...] = jnp.zeros_like(dh[...])
+
+    dh[...] = dh[...] + _dh_from_compact(sh[...][0], iv, cap, kpad,
+                                         gtx, gty, gtz, dtype)
+
+
+def _chain_sum_kernel(rank_r, idxr, cux, cuy, cuz, cd, cfc, cdfc,
+                      gux, guy, guz, gd, gfc, grx, gry, grz, sh,
+                      gtx_o, gty_o, gtz_o, fcen, dh,
+                      *, spec, cap, caps, sections, kpad, atot, dtype):
+    """Fused-path chain: the angular stage-1 cotangents are SUMMED with
+    the radial gamma grids (grx/gry/grz — both channels live on the same
+    compact lanes), so center force, box cotangent, and the downstream
+    wing decompact + fold run ONCE for both channels instead of per
+    channel (round 3 paid a second wing kernel + fold-roll pass +
+    [NC, cap, kpad] x3 round trip for the radial channel)."""
+    t_rows = rank_r.shape[0]
+    r_rows = t_rows * cap
+    rank2 = rank_r[...].astype(jnp.int32).reshape(r_rows, kpad)
+    iv = idxr[...].astype(jnp.int32).reshape(r_rows, kpad)
+    gtx, gty, gtz = _chain_to_stage1(
+        spec, (cux, cuy, cuz, cd, cfc, cdfc), (gux, guy, guz, gd, gfc),
+        rank2, r_rows, t_rows, cap, kpad, atot, dtype)
+    gtx = gtx + grx[...].reshape(r_rows, kpad)
+    gty = gty + gry[...].reshape(r_rows, kpad)
+    gtz = gtz + grz[...].reshape(r_rows, kpad)
     gtx_o[...] = gtx.reshape(t_rows, cap, kpad)
     gty_o[...] = gty.reshape(t_rows, cap, kpad)
     gtz_o[...] = gtz.reshape(t_rows, cap, kpad)
@@ -1649,8 +1799,8 @@ def _run_fwd_blocks(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
 
 
 def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
-                      n_out, pos, h, inv_bins, csp_grid, cell, slot, aidx,
-                      want_compact=False):
+                      n_out, compact_cols, pos, h, inv_bins, csp_grid,
+                      cell, slot, aidx, want_compact=False):
     cap = grid.cap
     nc = grid.total
     dtype = pos.dtype
@@ -1662,12 +1812,25 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
     compact, rank2, deficit, a_offs, atot = _angular_compact_call(
         spec, grid, sections, kpad, caps, interpret, planes, aidx_p,
         nc_pad, dtype)
-
-    asub = spec.angular_sublength
-    rca = spec.angular_cutoff
     # n_out: pair blocks run only over the first n_out atoms' rows (the
     # sharded path's locals — ghost centers carry zero AEV cotangent)
     n = n_out if n_out is not None else cell.shape[0]
+    out, part = _angular_pair_stage(
+        spec, sections, caps, tiers, interpret, n, compact, deficit,
+        a_offs, cell, slot, nc, dtype, compact_cols)
+    if want_compact:
+        return out, (compact, rank2, part)
+    return out
+
+
+def _angular_pair_stage(spec, sections, caps, tiers, interpret, n,
+                        compact, deficit, a_offs, cell, slot, nc, dtype,
+                        compact_cols):
+    """Flat-row species-pair blocks over the stage-2 compact arrays
+    (shared by the per-channel and fused forward paths). Returns
+    ((angular, deficit), part)."""
+    asub = spec.angular_sublength
+    rca = spec.angular_cutoff
     # FLAT-ROW pair blocks: the pair-term kernels are row-independent
     # (each row = one center atom), so they run over gathered flat atom
     # rows instead of the [nc, cap] grid layout — zero dead cap-slot
@@ -1679,10 +1842,14 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
     r = _r_flat(n)
     tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
     part = None
+    cat_out = None
     if tiers_n is None:
         pieces = _run_fwd_blocks(spec, caps, a_offs, cflat, n_pad2, r,
                                  interpret, dtype)
         pieces = {ch0: blk[:n] for ch0, blk in pieces.items()}
+        if compact_cols:
+            cat_out = jnp.concatenate(
+                [pieces[ch0] for ch0 in sorted(pieces)], axis=1)
     else:
         atot = cflat[0].shape[1]
         cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
@@ -1707,24 +1874,30 @@ def _angular_asn_impl(spec, grid, sections, kpad, caps, tiers, interpret,
         cat = jnp.concatenate(
             [jnp.concatenate([tp[ch0] for tp in tier_pieces], axis=0)
              for ch0 in chans], axis=1)[pos_of[:n]]
-        pieces = {ch0: jax.lax.slice(cat, (0, i * asub),
-                                     (n, (i + 1) * asub))
-                  for i, ch0 in enumerate(chans)}
         deficit = jnp.concatenate([deficit, spill.astype(dtype)[None]])
-    zero_blk = None
-    cols = []
-    for pair_i in range(spec.num_pairs):
-        ch0 = pair_i * asub
-        if ch0 in pieces:
-            cols.append(pieces[ch0])
+        if compact_cols:
+            # the gathered tier concat IS the compact matrix (present
+            # blocks only, ascending ch0) — no split/re-concat
+            cat_out = cat
         else:
-            if zero_blk is None:
-                zero_blk = jnp.zeros((n, asub), dtype)
-            cols.append(zero_blk)
-    out = jnp.concatenate(cols, axis=1), deficit
-    if want_compact:
-        return out, (compact, rank2, part)
-    return out
+            pieces = {ch0: jax.lax.slice(cat, (0, i * asub),
+                                         (n, (i + 1) * asub))
+                      for i, ch0 in enumerate(chans)}
+    if compact_cols:
+        out = cat_out, deficit
+    else:
+        zero_blk = None
+        cols = []
+        for pair_i in range(spec.num_pairs):
+            ch0 = pair_i * asub
+            if ch0 in pieces:
+                cols.append(pieces[ch0])
+            else:
+                if zero_blk is None:
+                    zero_blk = jnp.zeros((n, asub), dtype)
+                cols.append(zero_blk)
+        out = jnp.concatenate(cols, axis=1), deficit
+    return out, part
 
 
 def _arm1_spec(cap, c1, t=_T_ROWS):
@@ -2140,43 +2313,30 @@ def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
     return gsum
 
 
-def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
-                          interpret, n_out, inv_bins, cell, slot, aidx,
-                          ainv, compact, rank2, ga_flat, part=None):
-    """Backward from the forward's saved compact/rank2 arrays.
-
-    The compact quantities and the stage-2 rank map are HBM outputs the
-    forward materializes anyway, so saving them as VJP residuals deletes
-    the entire re-compaction (position row gathers, window geometry
-    gathers, cumsum-bisect) from the backward — it needs no positions at
-    all. The tier partition also rides the residuals (`part`); absent,
-    it is recomputed from the saved compact distances (integer
-    cumsum/bisect on identical inputs: exact)."""
-    cap = grid.cap
-    nc = grid.total
-    dtype = compact[0].dtype
-    wpad = _round_lane(27 * cap)
-    nc_pad = compact[0].shape[0]
-    aidx_p = _pad_rows(aidx, nc_pad, wpad)
-    ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
+def _angular_gsum_grid(spec, sections, caps, tiers, interpret, n,
+                       compact_cols, inv_bins, cell, slot, compact,
+                       ga_flat, part, nc, nc_pad, dtype):
+    """Pair-block backward over flat rows -> 5 per-slot cotangent sums
+    in GRID layout [nc_pad, cap, atot] (shared by the per-channel and
+    fused backward paths). Returns (gsum list, a_offs, atot)."""
+    cap = compact[0].shape[1]
+    rca = spec.angular_cutoff
     a_offs, atot = _a_offsets(sections, caps)
     assert atot <= _LANE - 1, atot
-
-    rca = spec.angular_cutoff
-    n = n_out if n_out is not None else cell.shape[0]
-
-    # flat-row pair-block cotangents (mirror of the forward layout):
-    # ga needs no grid scatter at all, and the per-slot outputs come
-    # back in atom order for ONE gather into the decompact's grid form
     cflat = _compact_to_flat(compact, cell[:n], slot[:n], nc, n, rca,
                              dtype)
     n_pad2 = cflat[0].shape[0]
     r = _r_flat(n)
     tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
     asub = spec.angular_sublength
+    chans_c = sorted(pb[4] for pb in _pair_blocks(spec, caps)
+                     if pb[0] in a_offs and pb[1] in a_offs)
     if tiers_n is None:
         ga_pad = _pad_rows2(ga_flat, n_pad2, 0.0)
-        ga_off = {pb[4]: pb[4] for pb in _pair_blocks(spec, caps)}
+        if compact_cols:
+            ga_off = {ch0: i * asub for i, ch0 in enumerate(chans_c)}
+        else:
+            ga_off = {pb[4]: pb[4] for pb in _pair_blocks(spec, caps)}
         gsum = [gf[:n] for gf in _run_bwd_blocks(
             spec, caps, a_offs, atot, cflat, ga_pad, ga_off, n_pad2, r,
             interpret, dtype)]
@@ -2191,13 +2351,13 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
             pos_of, row_ats, valids, _ = _tier_partition(
                 cnts, sp_order, tiers_n, n)
         # present blocks' cotangent columns only, concatenated — the
-        # tier row-gathers must not move the absent pairs' zero columns
-        chans = sorted(pb[4] for pb in _pair_blocks(spec, caps)
-                       if pb[0] in a_offs and pb[1] in a_offs)
-        ga_off = {ch0: i * asub for i, ch0 in enumerate(chans)}
-        ga_cat = _pad_rows2(jnp.concatenate(
-            [jax.lax.slice(ga_flat, (0, ch0), (n, ch0 + asub))
-             for ch0 in chans], axis=1), n_pad2, 0.0)
+        # tier row-gathers must not move the absent pairs' zero columns.
+        # compact_cols mode: ga_flat already IS that layout.
+        ga_off = {ch0: i * asub for i, ch0 in enumerate(chans_c)}
+        ga_cat = _pad_rows2(
+            ga_flat if compact_cols else jnp.concatenate(
+                [jax.lax.slice(ga_flat, (0, ch0), (n, ch0 + asub))
+                 for ch0 in chans_c], axis=1), n_pad2, 0.0)
         cflat_cat = jnp.concatenate(cflat, axis=1)
         pad_row = _tier_pad_row(atot, rca, dtype)
         parts = []
@@ -2222,6 +2382,33 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
     # back to grid layout for the window-structured decompact kernels
     gsum = [_pad_rows(_to_grid_rows(inv_bins, gf, 0.0), nc_pad, 0.0)
             for gf in gsum]
+    return gsum, a_offs, atot
+
+
+def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
+                          interpret, n_out, compact_cols, inv_bins, cell,
+                          slot, aidx, ainv, compact, rank2, ga_flat,
+                          part=None):
+    """Backward from the forward's saved compact/rank2 arrays.
+
+    The compact quantities and the stage-2 rank map are HBM outputs the
+    forward materializes anyway, so saving them as VJP residuals deletes
+    the entire re-compaction (position row gathers, window geometry
+    gathers, cumsum-bisect) from the backward — it needs no positions at
+    all. The tier partition also rides the residuals (`part`); absent,
+    it is recomputed from the saved compact distances (integer
+    cumsum/bisect on identical inputs: exact)."""
+    cap = grid.cap
+    nc = grid.total
+    dtype = compact[0].dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad = compact[0].shape[0]
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+    ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
+    n = n_out if n_out is not None else cell.shape[0]
+    gsum, a_offs, atot = _angular_gsum_grid(
+        spec, sections, caps, tiers, interpret, n, compact_cols,
+        inv_bins, cell, slot, compact, ga_flat, part, nc, nc_pad, dtype)
 
     sh = _wrap_shift_tables(grid, 1, dtype)
     sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
@@ -2269,42 +2456,267 @@ def _angular_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers,
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7))
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _angular_asn_flat(spec, grid, sections, kpad, caps, tiers, interpret,
-                      n_out, pos, h, inv_bins, csp_grid, cell, slot, aidx,
-                      ainv):
+                      n_out, compact_cols, pos, h, inv_bins, csp_grid,
+                      cell, slot, aidx, ainv):
     return _angular_asn_impl(spec, grid, sections, kpad, caps, tiers,
-                             interpret, n_out, pos, h, inv_bins, csp_grid,
-                             cell, slot, aidx)
+                             interpret, n_out, compact_cols, pos, h,
+                             inv_bins, csp_grid, cell, slot, aidx)
 
 
 def _angular_asn_fwd(spec, grid, sections, kpad, caps, tiers, interpret,
-                     n_out, pos, h, inv_bins, csp_grid, cell, slot, aidx,
-                     ainv):
+                     n_out, compact_cols, pos, h, inv_bins, csp_grid,
+                     cell, slot, aidx, ainv):
     out, (compact, rank2, part) = _angular_asn_impl(
-        spec, grid, sections, kpad, caps, tiers, interpret, n_out, pos, h,
-        inv_bins, csp_grid, cell, slot, aidx, want_compact=True)
+        spec, grid, sections, kpad, caps, tiers, interpret, n_out,
+        compact_cols, pos, h, inv_bins, csp_grid, cell, slot, aidx,
+        want_compact=True)
     # rank2 values < kpad: int16 halves the largest angular VJP residual
     return out, (inv_bins, cell, slot, aidx, ainv, compact,
                  rank2.astype(jnp.int16), part)
 
 
 def _angular_asn_bwd(spec, grid, sections, kpad, caps, tiers, interpret,
-                     n_out, res, g):
+                     n_out, compact_cols, res, g):
     ga, _ = g
     inv_bins, cell, slot, aidx, ainv, compact, rank2, part = res
     dpos, dh = _angular_asn_bwd_impl(
         spec, grid, sections, kpad, caps, tiers, interpret, n_out,
-        inv_bins, cell, slot, aidx, ainv, compact, rank2, ga, part=part)
+        compact_cols, inv_bins, cell, slot, aidx, ainv, compact, rank2,
+        ga, part=part)
     return dpos, dh, None, None, None, None, None, None
 
 
 _angular_asn_flat.defvjp(_angular_asn_fwd, _angular_asn_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Fused both-channels op (the production force path)
+# ---------------------------------------------------------------------------
+
+
+def _both_asn_impl(spec, grid, sections, kpad, caps, tiers, rep,
+                   interpret, n_out, pos, h, inv_bins, csp_grid, cell,
+                   slot, aidx, want_res=False):
+    """Fused forward: one geometry pass serves radial (+repulsion) and
+    angular stage-2; always compact AEV columns."""
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, inv_bins, csp_grid, pos, h, wpad)
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+    n = n_out if n_out is not None else cell.shape[0]
+
+    a_offs, atot = _a_offsets(sections, caps)
+    assert atot <= _LANE - 1, atot
+    srl = len(sections) * len(spec.shf_r) * len(spec.eta_r)
+    t = _t_cells(cap, wpad)
+    cmp_specs, cmp_shapes = _angular_specs(cap, kpad, wpad, atot,
+                                           spec.angular_length, nc_pad,
+                                           dtype, t)
+    kern = functools.partial(
+        _step_fused_kernel, spec=spec, rep=rep, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, wpad=wpad, compact_cols=True,
+        dtype=dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nc_pad // t,),
+        in_specs=[_cen_spec(cap, t)] * 4 + [_win_spec(wpad, t)] * 3
+        + [_k3_spec(cap, kpad, t)],
+        out_specs=[_out1_spec(cap, srl + 1, t)] + cmp_specs
+        + [_k3_spec(cap, kpad, t), _acc1_spec()],
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, srl + 1), dtype)]
+        + cmp_shapes
+        + [jax.ShapeDtypeStruct((nc_pad, cap, kpad), jnp.int32),
+           jax.ShapeDtypeStruct((8, 128), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, pcs, cx, cy, cz, aidx_p)
+    rad_rows = outs[0][:nc][cell[:n], slot[:n]]
+    radial, erep = rad_rows[:, :srl], rad_rows[:, srl]
+    compact, rank2 = outs[1:7], outs[7]
+    deficit = outs[8][0, :spec.num_species]
+    (angular, deficit), part = _angular_pair_stage(
+        spec, sections, caps, tiers, interpret, n, compact, deficit,
+        a_offs, cell, slot, nc, dtype, compact_cols=True)
+    out = (radial, erep, angular, deficit)
+    if want_res:
+        return out, (compact, rank2, part)
+    return out
+
+
+def _both_asn_bwd_impl(spec, grid, sections, kpad, caps, tiers, rep,
+                       interpret, n_out, pos, h, inv_bins, csp_grid,
+                       cell, slot, aidx, ainv, compact, rank2, part,
+                       g_rad, g_rep, g_ang):
+    """Fused backward: radial gamma on compact lanes + angular chain,
+    SUMMED before one wing decompact + one fold + one dh — both
+    channels share the same frozen assignment lanes, so round 3's
+    per-channel wing/fold/dh pairs were duplicate work."""
+    cap = grid.cap
+    nc = grid.total
+    dtype = pos.dtype
+    wpad = _round_lane(27 * cap)
+    nc_pad = compact[0].shape[0]
+    aidx_p = _pad_rows(aidx, nc_pad, wpad)
+    ainv_p = _pad_rows(ainv, nc_pad, kpad - 1)
+    n = n_out if n_out is not None else cell.shape[0]
+    n_all = cell.shape[0]
+
+    # radial gamma grids (geometry recomputed: VMEM-only in the forward)
+    nc_pad2, px, py, pz, pcs, cx, cy, cz, csp = _prep_asn(
+        grid, inv_bins, csp_grid, pos, h, wpad)
+    gac = jnp.concatenate([g_rad, g_rep[:, None]], axis=-1)
+    if gac.shape[0] < n_all:
+        gac = jnp.pad(gac, ((0, n_all - gac.shape[0]), (0, 0)))
+    ga = _pad_rows(_to_grid_rows(inv_bins, gac, 0.0), nc_pad, 0.0)
+    srl = g_rad.shape[-1]
+    t_g = _t_rgam(cap, kpad, wpad, nc_pad)
+    kern_g = functools.partial(
+        _radial_gamma_only_kernel, spec=spec, rep=rep, cap=cap,
+        sections=sections, kpad=kpad, wpad=wpad, compact_cols=True,
+        dtype=dtype)
+    grx, gry, grz = pl.pallas_call(
+        kern_g,
+        grid=(nc_pad // t_g,),
+        in_specs=[_cen_spec(cap, t_g)] * 4 + [_win_spec(wpad, t_g)] * 3
+        + [_k3_spec(cap, kpad, t_g), _out1_spec(cap, srl + 1, t_g)],
+        out_specs=[_k3_spec(cap, kpad, t_g)] * 3,
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, kpad), dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(px, py, pz, pcs, cx, cy, cz, aidx_p, ga)
+
+    # angular pair-block cotangents -> grid layout
+    gsum, a_offs, atot = _angular_gsum_grid(
+        spec, sections, caps, tiers, interpret, n, True, inv_bins, cell,
+        slot, compact, g_ang, part, nc, nc_pad, dtype)
+
+    sh = _wrap_shift_tables(grid, 1, dtype)
+    sh = _pad_rows(sh.reshape(nc, -1), nc_pad, 0.0).reshape(
+        1, nc_pad, 27, 3)
+    t_a = _t_chain(cap, kpad, nc_pad)
+    kern_a = functools.partial(
+        _chain_sum_kernel, spec=spec, cap=cap, caps=caps,
+        sections=sections, kpad=kpad, atot=atot, dtype=dtype)
+    gtx, gty, gtz, fcen, dh_pad = pl.pallas_call(
+        kern_a,
+        grid=(nc_pad // t_a,),
+        in_specs=[_k3_spec(cap, kpad, t_a), _k3_spec(cap, kpad, t_a)]
+        + [_k3_spec(cap, atot, t_a)] * 11
+        + [_k3_spec(cap, kpad, t_a)] * 3
+        + [pl.BlockSpec((1, t_a, 27, 3), lambda i: (0, i, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=[_k3_spec(cap, kpad, t_a)] * 3
+        + [_out1_spec(3, cap, t_a), _acc1_spec()],
+        out_shape=[jax.ShapeDtypeStruct((nc_pad, cap, kpad), dtype)] * 3
+        + [jax.ShapeDtypeStruct((nc_pad, 3, cap), dtype),
+           jax.ShapeDtypeStruct((8, 128), dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(rank2, aidx_p, *compact, *gsum, grx, gry, grz, sh)
+
+    t_w = _t_wing(cap, kpad, wpad, nc_pad)
+    kern_w = functools.partial(
+        _wing_kernel, cap=cap, kpad=kpad, wpad=wpad, dtype=dtype)
+    wing = pl.pallas_call(
+        kern_w,
+        grid=(nc_pad // t_w,),
+        in_specs=[_k3_spec(cap, kpad, t_w)] * 3
+        + [_k3_spec(cap, wpad, t_w)],
+        out_specs=pl.BlockSpec((1, t_w, 3, wpad),
+                               lambda i: (0, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, nc_pad, 3, wpad), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(gtx, gty, gtz, ainv_p)
+
+    dpos = _fold_wing_pad(grid, fcen, wing, nc, wpad)[cell, slot]
+    return dpos, dh_pad[:3, :3]
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
+def _both_asn_flat(spec, grid, sections, kpad, caps, tiers, rep,
+                   interpret, n_out, pos, h, inv_bins, csp_grid, cell,
+                   slot, aidx, ainv):
+    return _both_asn_impl(spec, grid, sections, kpad, caps, tiers, rep,
+                          interpret, n_out, pos, h, inv_bins, csp_grid,
+                          cell, slot, aidx)
+
+
+def _both_asn_fwd(spec, grid, sections, kpad, caps, tiers, rep,
+                  interpret, n_out, pos, h, inv_bins, csp_grid, cell,
+                  slot, aidx, ainv):
+    out, (compact, rank2, part) = _both_asn_impl(
+        spec, grid, sections, kpad, caps, tiers, rep, interpret, n_out,
+        pos, h, inv_bins, csp_grid, cell, slot, aidx, want_res=True)
+    return out, (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv,
+                 compact, rank2.astype(jnp.int16), part)
+
+
+def _both_asn_bwd(spec, grid, sections, kpad, caps, tiers, rep,
+                  interpret, n_out, res, g):
+    g_rad, g_rep, g_ang, _ = g
+    (pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv, compact, rank2,
+     part) = res
+    dpos, dh = _both_asn_bwd_impl(
+        spec, grid, sections, kpad, caps, tiers, rep, interpret, n_out,
+        pos, h, inv_bins, csp_grid, cell, slot, aidx, ainv, compact,
+        rank2, part, g_rad, g_rep, g_ang)
+    return dpos, dh, None, None, None, None, None, None
+
+
+_both_asn_flat.defvjp(_both_asn_fwd, _both_asn_bwd)
+
+
+def aev_asn_fused(aev_spec, grid, bins, asn, pos, box, sections, caps,
+                  tiers=None, repulsion=None, interpret=None, n_out=None):
+    """(radial, erep, angular, deficit) — both channels through ONE
+    fused op: one geometry pass forward, one summed wing/fold/dh
+    backward. Always compact AEV columns (see present_channels /
+    radial sections order). The production force path; the per-channel
+    radial_aev_asn / angular_aev_asn remain as the parity oracle
+    surface."""
+    if interpret is None:
+        interpret = _interpret_default()
+    kpad = asn.idx.shape[-1]
+    tiers_t = (tuple((tuple(c), int(rw)) for c, rw in tiers)
+               if tiers else None)
+    return _both_asn_flat(aev_spec, grid, sections, kpad, tuple(caps),
+                          tiers_t, repulsion, interpret, n_out, pos,
+                          box.h, bins.inv, bins.species_grid, bins.cell,
+                          bins.slot, asn.idx, asn.inv)
+
+
+def present_channels(aev_spec, caps, sections):
+    """Ascending torchani channel offsets (ch0) of the species-pair
+    blocks present under `caps`/`sections` — the static column map of
+    the compact_cols angular output."""
+    a_offs, _ = _a_offsets(sections, tuple(caps))
+    return tuple(sorted(pb[4] for pb in _pair_blocks(aev_spec, tuple(caps))
+                        if pb[0] in a_offs and pb[1] in a_offs))
+
+
 def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
-                    tiers=None, interpret=None, n_out=None):
+                    tiers=None, interpret=None, n_out=None,
+                    compact_cols=False):
     """([n_out, angular_length], deficit) over a frozen assignment.
+
+    `compact_cols` (static): emit only the PRESENT species-pair blocks'
+    columns (ascending ch0, see present_channels) instead of the full
+    torchani layout with zero blocks for absent pairs — at water
+    composition that is 3 of 28 blocks, deleting ~90% of the angular
+    output/cotangent bytes. The cotangent must arrive in the same
+    compact layout.
 
     `sections`/`asn` may be any assignment whose keep radius covers
     (Rca + skin) — in production the RADIAL assignment is shared (one
@@ -2329,6 +2741,6 @@ def angular_aev_asn(aev_spec, grid, bins, asn, pos, box, sections, caps,
     tiers_t = (tuple((tuple(c), int(rw)) for c, rw in tiers)
                if tiers else None)
     return _angular_asn_flat(aev_spec, grid, sections, kpad, tuple(caps),
-                             tiers_t, interpret, n_out, pos, box.h,
-                             bins.inv, bins.species_grid, bins.cell,
-                             bins.slot, asn.idx, asn.inv)
+                             tiers_t, interpret, n_out, compact_cols,
+                             pos, box.h, bins.inv, bins.species_grid,
+                             bins.cell, bins.slot, asn.idx, asn.inv)

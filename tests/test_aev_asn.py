@@ -494,6 +494,63 @@ def test_asn_angular_tri_matches_full(monkeypatch):
         np.testing.assert_allclose(gh_t, gh_f, atol=1e-12)
 
 
+def test_asn_fused_matches_per_channel():
+    """The fused both-channels op (aev_asn_fused: one geometry pass fwd,
+    one summed wing/fold/dh bwd) must match the per-channel kernels —
+    values, forces, and box cotangents — including the compact column
+    layout and repulsion side channel."""
+    spec = aevmod.ani2x_aev_spec()
+    species, pos, box, data = _system()
+    rspec = repmod.RepulsionSpec.for_symbols(
+        ("H", "C", "N", "O", "S", "F", "Cl"), cutoff=spec.radial_cutoff)
+    side = spec.radial_cutoff + SKIN
+    grid, bins, sections, asn = _grid_bins_asn(
+        spec, species, pos, box, side, side)
+    sp = np.asarray(species)
+    caps = tuple((12 if s == 0 else 8) if (sp == s).sum() else 0
+                 for s in range(spec.num_species))
+    wr = jax.random.normal(jax.random.PRNGKey(7), (512,), jnp.float64)
+
+    def e_fused(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        rad, erep, ang, dfc = apasn.aev_asn_fused(
+            spec, grid, bins, asn, p, b, sections, caps,
+            repulsion=rspec, interpret=True)
+        k = rad.shape[1] + ang.shape[1]
+        return (jnp.sum(rad * wr[:rad.shape[1]][None])
+                + jnp.sum(ang * wr[rad.shape[1]:k][None])
+                + jnp.sum(erep) * wr[-1]), (rad, erep, ang, dfc)
+
+    def e_ref(p, h):
+        b = nbops.Box(h=h, origin=box.origin)
+        rad, erep = apasn.radial_aev_asn(
+            spec, grid, bins, asn, p, b, sections, repulsion=rspec,
+            interpret=True, compact_cols=True)
+        ang, dfc = apasn.angular_aev_asn(
+            spec, grid, bins, asn, p, b, sections, caps, interpret=True,
+            compact_cols=True)
+        k = rad.shape[1] + ang.shape[1]
+        return (jnp.sum(rad * wr[:rad.shape[1]][None])
+                + jnp.sum(ang * wr[rad.shape[1]:k][None])
+                + jnp.sum(erep) * wr[-1]), (rad, erep, ang, dfc)
+
+    (_, (rad_f, erep_f, ang_f, dfc_f)), (g_f, gh_f) = jax.value_and_grad(
+        e_fused, argnums=(0, 1), has_aux=True)(pos, box.h)
+    (_, (rad_r, erep_r, ang_r, dfc_r)), (g_r, gh_r) = jax.value_and_grad(
+        e_ref, argnums=(0, 1), has_aux=True)(pos, box.h)
+    np.testing.assert_allclose(np.asarray(rad_f), np.asarray(rad_r),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(erep_f), np.asarray(erep_r),
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ang_f), np.asarray(ang_r),
+                               atol=1e-12)
+    np.testing.assert_array_equal(np.asarray(dfc_f), np.asarray(dfc_r))
+    np.testing.assert_allclose(np.asarray(g_f), np.asarray(g_r),
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(gh_f), np.asarray(gh_r),
+                               atol=1e-10)
+
+
 def test_asn_angular_tier_spill_reports_deficit():
     """Rows beyond the LAST tier's row capacity cannot cascade anywhere:
     the trailing deficit entry must report them (run() grows the
