@@ -161,10 +161,22 @@ def main():
 
     def warm_and_time():
         sim, state = build_and_warm()
-        t0 = time.perf_counter()
-        state, _ = sim.run(state, total_steps)
-        jax.block_until_ready(state.pos)
-        return sim, time.perf_counter() - t0
+        # re-time if a capacity regrow lands inside the timed region: a
+        # regrow's whole-program recompile (~minutes over the tunnel)
+        # charged to 72 steps reports garbage ms/step (observed 1443 vs
+        # the profiled ~280 at 240k). Regrows are monotonic, so one
+        # retry per event converges.
+        for _ in range(3):
+            ev = sim.regrow_events
+            t0 = time.perf_counter()
+            state, _ = sim.run(state, total_steps)
+            jax.block_until_ready(state.pos)
+            wall = time.perf_counter() - t0
+            if sim.regrow_events == ev:
+                break
+            print(f"regrow inside timed region (events {ev} -> "
+                  f"{sim.regrow_events}); re-timing", file=sys.stderr)
+        return sim, wall
 
     try:
         sim, wall = warm_and_time()
@@ -240,13 +252,33 @@ def _bench_sharded(data, pot, box, dt, steps_per_chunk, n_chunks):
         data.species, data.masses_by_type[data.species],
         np.asarray(data.positions), box, temp=300.0, seed=1)
     warm_chunks = int(os.environ.get("BENCH_WARM_CHUNKS", "4"))
+    max_warm = int(os.environ.get("BENCH_MAX_WARM_CHUNKS", "16"))
     state, _ = dsim.run(state, steps_per_chunk * warm_chunks)
+    # warm until the capacity ratchet settles (2 consecutive regrow-free
+    # chunks) — each regrow recompiles the whole sharded program
+    # (~minutes at 101k ext shapes over the tunnel), which must not
+    # land in the timed region
+    stable = 0
+    for _ in range(max(0, max_warm - warm_chunks)):
+        ev = dsim.regrow_events
+        state, _ = dsim.run(state, steps_per_chunk)
+        stable = stable + 1 if dsim.regrow_events == ev else 0
+        if stable >= 2:
+            break
     jax.block_until_ready(state.pos)
     total_steps = steps_per_chunk * n_chunks
-    t0 = time.perf_counter()
-    state, _ = dsim.run(state, total_steps)
-    jax.block_until_ready(state.pos)
-    wall = time.perf_counter() - t0
+    # same regrow-aware re-timing as the single-device headline: a
+    # regrow recompile inside the timed window reports garbage ms/step
+    for _ in range(3):
+        ev = dsim.regrow_events
+        t0 = time.perf_counter()
+        state, _ = dsim.run(state, total_steps)
+        jax.block_until_ready(state.pos)
+        wall = time.perf_counter() - t0
+        if dsim.regrow_events == ev:
+            break
+        print(f"sharded regrow inside timed region; re-timing",
+              file=sys.stderr)
     ms_per_step = wall * 1e3 / total_steps
     ns_per_day = dt * 86.4 / ms_per_step
     result = {

@@ -49,6 +49,12 @@ def main():
     import numpy as np
     import jax
 
+    # the axon sitecustomize force-sets jax_platforms="axon,cpu" and
+    # ignores the JAX_PLATFORMS env var; honor an explicit CPU request
+    # (the virtual-mesh validation path) via the config API instead
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     n_dev = int(np.prod(cfg["mesh_shape"]))
     if len(jax.devices()) < n_dev:
         raise SystemExit(

@@ -920,6 +920,7 @@ class Simulation:
             roll_count = rbins.count_max
             roll_ang_ovf = false
             sec_ovf = rasn.ovf > 0
+            overflow_sec = rasn.ovf_sec
         else:
             roll_ovf = (false if bins is None
                         else bins.count_max > self._roll_grid.cap)
@@ -946,6 +947,7 @@ class Simulation:
             # per-species worst deficit across the chunk's steps: run()
             # grows exactly the overflowing caps, no degree re-measure
             overflow["angular_deficit"] = jnp.max(deficits, axis=0)
+            overflow["sec_deficit"] = overflow_sec
         # measured bin occupancy: run() regrows the roll cap to exactly
         # this (rounded) instead of 1.5x — window width (27*cap lanes)
         # sets every asn kernel's per-step gather cost
@@ -1025,6 +1027,7 @@ class Simulation:
                 state, jnp.asarray(take, jnp.int32))
             ang_deficit = overflow.pop("angular_deficit", None)
             roll_count = overflow.pop("roll_count", None)
+            sec_deficit = overflow.pop("sec_deficit", None)
             ovf = {k: bool(v) for k, v in jax.device_get(overflow).items()}
             if any(ovf.values()):
                 # Grow exactly the capacities that overflowed and re-run the
@@ -1061,9 +1064,21 @@ class Simulation:
                     self._chunk_cache = {}
                 if ovf.get("sections"):
                     # a frozen compact section overflowed at rebuild:
-                    # re-measure the per-species degrees at this geometry
-                    # (re-derives sections AND within-cutoff caps)
-                    self._derive_angular_caps(state.pos, state.box)
+                    # grow exactly the overflowing sections by their
+                    # reported deficits (monotonic by construction — a
+                    # re-measure at the chunk-input state can re-derive
+                    # the sections that just overflowed mid-chunk and
+                    # loop, each loop paying a whole-program recompile)
+                    if sec_deficit is not None:
+                        dv = np.asarray(jax.device_get(sec_deficit))
+                        secs = dict(self._rad_sections)
+                        for s in list(secs):
+                            if s < len(dv) and dv[s] > 0:
+                                secs[s] += max(4, -(-int(dv[s]) // 4) * 4)
+                        self._rad_sections = tuple(sorted(secs.items()))
+                        self._chunk_cache = {}
+                    else:
+                        self._derive_angular_caps(state.pos, state.box)
                 if (ovf["angular"] and ang_deficit is not None
                         and not (ovf["k_max"] or ovf["mirror"])
                         and self.potential.spec.angular_caps is not None):

@@ -89,10 +89,12 @@ _LANE = 128
 class Assignment:
     """Frozen per-rebuild window-lane assignment for one AEV channel."""
 
-    idx: jax.Array  # [NC, cap, kpad] int32; dead = wpad
-    inv: jax.Array  # [NC, cap, wpad] int32; dead = kpad - 1
+    idx: jax.Array  # [NC, cap, kpad] int16; dead = wpad
+    inv: jax.Array  # [NC, cap, wpad] int16; dead = kpad - 1
     ovf: jax.Array  # [] dtype: max over rows/species of (count - k_s); > 0
     # means a section overflowed at rebuild (regrow sections and retry)
+    ovf_sec: jax.Array | None = None  # [num_species] per-species deficit
+    # (count - k_s), so regrows can bump exactly the overflowing section
 
 
 def _sec_offsets(sections):
@@ -264,7 +266,6 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
     cxv, cyv, czv, csv = _ldp(cx), _ldp(cy), _ldp(cz), _ldp(cs)
 
     carries = {s: jnp.zeros((r_rows, 1), dtype) for s, _ in sections}
-    deficit = jnp.full((), -(2.0 ** 20), dtype)
     inv_chunks = []
     for c in range(wpad // _LANE):
         lo = c * _LANE
@@ -284,8 +285,6 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
             carries[s] = carries[s] + jnp.sum(m, axis=-1)[:, None]
             inv_c = jnp.where(m > 0.5, rank + float(off), inv_c)
         inv_chunks.append(inv_c)
-    for (s, k_s), off in zip(sections, offs):
-        deficit = jnp.maximum(deficit, jnp.max(carries[s]) - k_s)
 
     inv_acc = (jnp.concatenate(inv_chunks, axis=-1)
                if len(inv_chunks) > 1 else inv_chunks[0])
@@ -295,10 +294,16 @@ def _build_inv_kernel(px, py, pz, cx, cy, cz, cs, inv_o, ovf,
     def _():
         ovf[...] = jnp.full_like(ovf[...], -(2.0 ** 20))
 
+    # per-SPECIES deficits (row 0, col = species): regrows bump exactly
+    # the overflowing section instead of every section
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
-    ovf[...] = jnp.maximum(ovf[...], jnp.where(
-        (rows8 == 0) & (cols8 == 0), deficit, -(2.0 ** 20)))
+    plane = jnp.full((8, _LANE), -(2.0 ** 20), dtype)
+    for (s, k_s), off in zip(sections, offs):
+        plane = jnp.maximum(plane, jnp.where(
+            (rows8 == 0) & (cols8 == s),
+            jnp.max(carries[s]) - k_s, -(2.0 ** 20)))
+    ovf[...] = jnp.maximum(ovf[...], plane)
 
 
 def _build_idx_kernel(inv_r, idx_o, *, kpad, wpad, sections, dtype):
@@ -507,8 +512,11 @@ def build_assignment(grid, bins, pos, box, sections, kpad, keep_radius,
     # are the dominant frozen HBM residents (inv alone is
     # [NC, cap, 27*cap] — ~400 MB at the 101k bench box in int32)
     assert wpad < 2 ** 15 and kpad < 2 ** 15, (wpad, kpad)
+    n_sp = 1 + max(s for s, _ in sections)
     return Assignment(idx=idx[:nc].astype(jnp.int16),
-                      inv=inv[:nc].astype(jnp.int16), ovf=ovf[0, 0])
+                      inv=inv[:nc].astype(jnp.int16),
+                      ovf=jnp.max(ovf[0, :n_sp]),
+                      ovf_sec=ovf[0, :n_sp])
 
 
 # ---------------------------------------------------------------------------

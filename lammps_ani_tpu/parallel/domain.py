@@ -490,6 +490,8 @@ def auto_domain_spec(n_atoms: int, box_h, mesh_shape, rlist: float,
         v / np.linalg.norm(np.cross(h[0], h[1])),
     ])
     ns = int(np.prod(mesh_shape))
+    if ns == 1:
+        n_slack = 1.0  # no migration imbalance on a single shard
     n_cap = int(-(-int(n_atoms / ns * n_slack + 64) // 8) * 8)
     n_src = n_cap
     halo = []

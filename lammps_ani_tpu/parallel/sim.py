@@ -129,6 +129,9 @@ class DomainSimulation:
         self._chunk_cache = {}
         self.n_global = None  # set by init_state
         self.dof = None
+        # cumulative capacity regrows run() performed (bench re-times
+        # around regrow recompiles, like the single-device engine)
+        self.regrow_events = 0
 
     @property
     def rlist(self) -> float:
@@ -311,12 +314,17 @@ class DomainSimulation:
 
     # ---------------- sharded asn setup (host) ----------------
 
-    def _setup_asn(self, pos, species, box) -> bool:
+    def _setup_asn(self, pos, species, box, regrow=False) -> bool:
         """Derive the brick-roll grid geometry + compact sections +
         angular caps + occupancy tiers for the sharded pallas_asn engine
         (the sharded analog of Simulation._derive_angular_caps). Returns
         False (and leaves the mirror path active) when a brick cannot
-        hold an rlist-sided cell grid."""
+        hold an rlist-sided cell grid.
+
+        `regrow`: called from run()'s section-overflow path — growth must
+        be MONOTONIC (re-measuring at the chunk-input state can re-derive
+        exactly the sections that just overflowed mid-chunk and loop;
+        each sharded regrow recompiles a multi-minute program)."""
         import os as _os
         from ..ops import aev_asn as apasn
 
@@ -329,8 +337,15 @@ class DomainSimulation:
         spec = self.potential.spec
         rad_degs, ang_degs, cnt = _measure_asn_degrees(
             spec, pos, species, box, self.rlist)
-        self._rad_sections = apasn.sections_from_degrees(
+        sections = apasn.sections_from_degrees(
             rad_degs, float(_os.environ.get("LAT_SEC_MARGIN", "1.1")))
+        if self._rad_sections is not None:
+            old = dict(self._rad_sections)
+            bump = 4 if regrow else 0
+            sections = tuple(
+                (s, max(k, old.get(s, 0) + (bump if s in old else 0)))
+                for s, k in sections)
+        self._rad_sections = sections
         self._asn_kpad = apasn._round_lane(
             sum(k for _, k in self._rad_sections) + 1)
         # same cap formula as the single-device engine: small-degree
@@ -639,6 +654,7 @@ class DomainSimulation:
         }
         overflow["roll_count"] = lax.pmax(bins.count_max, AXIS_NAMES)
         overflow["angular_deficit"] = deficit  # already pmax-reduced
+        overflow["sec_deficit"] = lax.pmax(rasn.ovf_sec, AXIS_NAMES)
         return new_state, traj, disp, overflow, n_done
 
     def _run_scan(self, state, n_steps, payload, valid, box, forces):
@@ -802,7 +818,7 @@ class DomainSimulation:
             if self._asn_grid is not None:
                 ovf_spec = {k: P() for k in (
                     "mig", "halo", "roll", "sections", "angular",
-                    "roll_count", "angular_deficit")}
+                    "roll_count", "angular_deficit", "sec_deficit")}
             else:
                 ovf_spec = {k: P() for k in ("mig", "halo", "k_max",
                                              "angular")}
@@ -837,6 +853,7 @@ class DomainSimulation:
                 take)(state, self.potential)
             ang_deficit = overflow.pop("angular_deficit", None)
             roll_count = overflow.pop("roll_count", None)
+            sec_deficit = overflow.pop("sec_deficit", None)
             ovf = {k: bool(int(v))
                    for k, v in jax.device_get(overflow).items()}
             if any(ovf.values()):
@@ -846,6 +863,16 @@ class DomainSimulation:
                 # (/root/reference/src/pair_ani.cpp:104-151); previously
                 # the sharded driver raised here (VERDICT r2 weak #3)
                 recap_attempts += 1
+                self.regrow_events += 1
+                import os as _os
+                if _os.environ.get("LAT_VERBOSE"):
+                    import sys as _sys
+                    print(f"[lat sharded] regrow at step {done}: "
+                          f"{[k for k, v in ovf.items() if v]} "
+                          f"(cap {getattr(self._asn_grid, 'cap', None)}, "
+                          f"caps {self.potential.spec.angular_caps}, "
+                          f"tiers {self._ang_tiers})",
+                          file=_sys.stderr, flush=True)
                 if recap_attempts > 8:
                     raise RuntimeError(
                         f"sharded capacities keep overflowing after 8 "
@@ -881,12 +908,29 @@ class DomainSimulation:
                     self._chunk_cache = {}
                 if ovf.get("sections"):
                     # a frozen compact section overflowed at rebuild:
-                    # re-measure sections/caps/tiers at current geometry
-                    self._setup_asn(
-                        jnp.asarray(self.gather(state, "pos"), self.dtype),
-                        jnp.asarray(self.gather(state, "species")),
-                        state.box)
-                    self._probe_asn_cap(state)
+                    # grow exactly the overflowing sections by their
+                    # reported deficits (monotonic — a re-measure can
+                    # re-derive the sections that just overflowed
+                    # mid-chunk and loop; each sharded regrow recompiles
+                    # a multi-minute program)
+                    if sec_deficit is not None:
+                        from ..ops import aev_asn as apasn
+                        dv = np.asarray(jax.device_get(sec_deficit))
+                        secs = dict(self._rad_sections)
+                        for s in list(secs):
+                            if s < len(dv) and dv[s] > 0:
+                                secs[s] += max(4, -(-int(dv[s]) // 4) * 4)
+                        self._rad_sections = tuple(sorted(secs.items()))
+                        self._asn_kpad = apasn._round_lane(
+                            sum(k for _, k in self._rad_sections) + 1)
+                        self._chunk_cache = {}
+                    else:
+                        self._setup_asn(
+                            jnp.asarray(self.gather(state, "pos"),
+                                        self.dtype),
+                            jnp.asarray(self.gather(state, "species")),
+                            state.box, regrow=True)
+                        self._probe_asn_cap(state)
                 if ovf["angular"]:
                     if (self._asn_grid is not None
                             and ang_deficit is not None):
@@ -1048,8 +1092,27 @@ class DomainSimulation:
 def _measure_asn_degrees(spec, pos, species, box, rlist):
     """(per-species keep-radius degrees, per-species angular degrees,
     [n, ns] per-row angular degree matrix) from one O(n) cell-list
-    measure over the FULL system on the default device — the sharded
-    analog of Simulation._derive_angular_caps's measure."""
+    measure over the FULL system — the sharded analog of
+    Simulation._derive_angular_caps's measure.
+
+    Pinned to the CPU backend: it runs once per setup/regrow, and its
+    full-box ghost construction (n-capacity buffers) compile-OOMed the
+    16 GB TPU at 101k atoms when a mid-run sections regrow re-measured
+    on-device."""
+    from ..ops import cell_list as clmod
+
+    cpus = jax.local_devices(backend="cpu")
+    if cpus:
+        with jax.default_device(cpus[0]):
+            return _measure_asn_degrees_impl(spec, jax.device_put(
+                pos, cpus[0]), jax.device_put(species, cpus[0]),
+                nbops.Box(h=jax.device_put(box.h, cpus[0]),
+                          origin=jax.device_put(box.origin, cpus[0])),
+                rlist)
+    return _measure_asn_degrees_impl(spec, pos, species, box, rlist)
+
+
+def _measure_asn_degrees_impl(spec, pos, species, box, rlist):
     from ..ops import cell_list as clmod
 
     n = pos.shape[0]
