@@ -269,10 +269,12 @@ def _bench_sharded(data, pot, box, dt, steps_per_chunk, n_chunks):
     total_steps = steps_per_chunk * n_chunks
     # same regrow-aware re-timing as the single-device headline: a
     # regrow recompile inside the timed window reports garbage ms/step
+    rows = []
     for _ in range(3):
         ev = dsim.regrow_events
         t0 = time.perf_counter()
-        state, _ = dsim.run(state, total_steps)
+        state, rows = dsim.run(state, total_steps,
+                               thermo_every=total_steps)
         jax.block_until_ready(state.pos)
         wall = time.perf_counter() - t0
         if dsim.regrow_events == ev:
@@ -300,6 +302,8 @@ def _bench_sharded(data, pot, box, dt, steps_per_chunk, n_chunks):
             "sections": list(dsim._rad_sections or ()),
             "ang_tiers": [[list(c), r]
                           for c, r in (dsim._ang_tiers or ())],
+            "regrow_events": dsim.regrow_events,
+            "temp": round(rows[-1]["temp"], 1) if rows else None,
             "device": str(jax.devices()[0]),
         },
     }
