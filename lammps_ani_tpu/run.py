@@ -17,7 +17,13 @@ Config keys (JSON / CLI flags):
     press, pdamp, seed, precision (single|double), replicate [nx,ny,nz],
     hmr_factor, thermo_every, dump (path), dump_every, dump_format
     (lammpstrj|xyz|dcd), restart (path), restart_every, read_restart (path),
-    minimize_first (bool)
+    minimize_first (bool), mesh_shape [px,py,pz]
+
+`mesh_shape` routes the SAME config through the sharded engine
+(parallel.sim.DomainSimulation over a px*py*pz device mesh, capacities
+auto-derived via parallel.domain.auto_domain_spec) — the reference's
+"same input file, any `mpirun -np N`" property
+(/root/reference/examples/benchmark/run_one.py:40-51).
 """
 
 from __future__ import annotations
@@ -36,7 +42,7 @@ DEFAULTS = dict(
     pdamp=1000.0, seed=12345, precision="single", replicate=None,
     hmr_factor=None, thermo_every=50, dump=None, dump_every=100,
     dump_format="lammpstrj", restart=None, restart_every=0,
-    read_restart=None, minimize_first=False, log=None,
+    read_restart=None, minimize_first=False, log=None, mesh_shape=None,
 )
 
 
@@ -48,7 +54,7 @@ def load_config(argv):
         t = type(v) if v is not None else str
         if t is bool:
             parser.add_argument(f"--{k}", type=lambda s: s.lower() == "true")
-        elif k == "replicate":
+        elif k in ("replicate", "mesh_shape"):
             parser.add_argument(f"--{k}", type=int, nargs=3)
         else:
             parser.add_argument(f"--{k}", type=t if v is not None else str)
@@ -103,15 +109,37 @@ def build(cfg):
         raise ValueError(f"unknown ensemble {ens!r}")
 
     n = data.n_atoms
+    box = lat.Box.from_lammps(*data.box_bounds.ravel(), *data.tilt)
+    rlist = cfg["cutoff"] + cfg["skin"]
+    # density-derived capacity starting points (run()'s structured regrow
+    # owns correctness — these just avoid the first recompiles)
+    import jax
+    box_h = np.asarray(jax.device_get(box.h), np.float64)
+    density = n / float(abs(np.linalg.det(box_h)))
+    k_max = _round8(4.19 * rlist ** 3 * density * 1.3 + 8)
+    cell_cap = _round8(rlist ** 3 * density * 2.0 + 4)
+    if cfg["mesh_shape"]:
+        from .parallel import domain as pdomain
+        from .parallel.sim import DomainSimulation
+        dspec = pdomain.auto_domain_spec(
+            n, box_h, tuple(cfg["mesh_shape"]), rlist, k_max=k_max)
+        sim = DomainSimulation(
+            potential=pot, dspec=dspec, cutoff=cfg["cutoff"],
+            skin=cfg["skin"], rebuild_every=cfg["rebuild_every"],
+            dt=cfg["dt"], integrator=integrator, dtype=dtype)
+        return sim, data, box
     sim = lat.Simulation(
         potential=pot, species=data.species, masses=data.atom_masses,
         nbr=lat.NeighborConfig(
-            cutoff=cfg["cutoff"], skin=cfg["skin"], k_max=160,
+            cutoff=cfg["cutoff"], skin=cfg["skin"], k_max=k_max,
             ghost_capacity=max(2048, n), rebuild_every=cfg["rebuild_every"],
-            use_cell_list=n > 2000, cell_capacity=64),
+            use_cell_list=n > 2000, cell_capacity=cell_cap),
         dt=cfg["dt"], integrator=integrator, dtype=dtype)
-    box = lat.Box.from_lammps(*data.box_bounds.ravel(), *data.tilt)
     return sim, data, box
+
+
+def _round8(x) -> int:
+    return -(-int(x) // 8) * 8
 
 
 def main(argv=None):
@@ -121,6 +149,8 @@ def main(argv=None):
     from .md import minimize as minmod
 
     sim, data, box = build(cfg)
+    if cfg["mesh_shape"]:
+        return _main_sharded(cfg, sim, data, box)
     if cfg["read_restart"]:
         state = restio.load_restart(cfg["read_restart"], sim)
     else:
@@ -192,6 +222,78 @@ def main(argv=None):
     log.close()
     if cfg["restart"]:
         restio.save_restart(cfg["restart"], sim, state)
+    return state
+
+
+def _main_sharded(cfg, dsim, data, box):
+    """The mesh_shape route: same config, DomainSimulation engine."""
+    from .io import dump as dumpio
+
+    if cfg["minimize_first"]:
+        raise ValueError("minimize_first is not supported with mesh_shape")
+    if cfg["read_restart"]:
+        state = dsim.load_restart(cfg["read_restart"])
+    else:
+        state = dsim.init_state(
+            data.species, data.atom_masses, data.positions, box,
+            vel=data.velocities,
+            temp=cfg["temp"] if data.velocities is None else None,
+            seed=cfg["seed"])
+
+    writer = None
+    if cfg["dump"]:
+        syms = ["H", "C", "N", "O", "S", "F", "Cl"]
+        cls = {"lammpstrj": lambda p: dumpio.LammpsTrjWriter(p, syms),
+               "xyz": lambda p: dumpio.XYZWriter(p, syms),
+               "dcd": lambda p: dumpio.DCDWriter(p, dsim.n_global,
+                                                 cfg["dt"],
+                                                 cfg["dump_every"])}
+        writer = cls[cfg["dump_format"]](cfg["dump"])
+
+    log = dumpio.ThermoLog(cfg["log"])
+    fields = "step pe ke etotal temp press vol density".split()
+    print("# " + " ".join(f"{f:>12}" for f in fields))
+    base_step = {"v": 0}
+
+    def on_thermo(row):
+        row = dict(row)
+        row["step"] += base_step["v"]
+        log(row)
+        print("  " + " ".join(f"{row.get(f, float('nan')):12.4f}"
+                              for f in fields))
+
+    steps = cfg["steps"]
+    done = 0
+    t0 = time.perf_counter()
+    cadences = [c for c in (cfg["dump_every"] if writer else 0,
+                            cfg["restart_every"] if cfg["restart"] else 0)
+                if c]
+    while done < steps:
+        nxt = min((done // c + 1) * c for c in cadences) if cadences \
+            else steps
+        take = min(nxt, steps) - done
+        base_step["v"] = done
+        state, _ = dsim.run(state, take, thermo_every=cfg["thermo_every"],
+                            thermo_callback=on_thermo)
+        done += take
+        if writer and done % cfg["dump_every"] == 0:
+            writer.write_frame(
+                int(np.asarray(state.step)), dsim.gather(state, "pos"),
+                data.species, np.asarray(state.box.h),
+                np.asarray(state.box.origin))
+        if cfg["restart"] and cfg["restart_every"] and \
+                done % cfg["restart_every"] == 0:
+            dsim.save_restart(cfg["restart"], state)
+    wall = time.perf_counter() - t0
+    ms = wall / max(steps, 1) * 1e3
+    nsday = cfg["dt"] * 86.4 / ms
+    print(f"# Performance: {nsday:.4f} ns/day, {1e3 / ms:.3f} timesteps/s, "
+          f"{dsim.n_global * 1e-6 * 1e3 / ms:.4f} Matom-step/s")
+    if writer:
+        writer.close()
+    log.close()
+    if cfg["restart"]:
+        dsim.save_restart(cfg["restart"], state)
     return state
 
 
