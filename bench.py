@@ -94,9 +94,19 @@ def main():
     # publishes 8-model = 2.8x the 1-model cost,
     # /root/reference/examples/water/README.md table)
     num_models = int(os.environ.get("BENCH_MODELS", "1"))
-    pot = zoo.ani2x(num_models=num_models, dtype=jnp.float32,
-                    repulsion=True,
-                    atom_chunk=min(atom_chunk, 30 * n_rep ** 3))
+    # BENCH_MODEL=ani1x_nr benches the repulsion-fused ANI-1xnr path
+    # (reference bar: combustion 3.396 ns/day on 8 A100,
+    # /root/reference/examples/combustion/README.md) — water species
+    # (H, O) sit at the same indices in both zoos
+    model_name = os.environ.get("BENCH_MODEL", "ani2x")
+    chunk = min(atom_chunk, 30 * n_rep ** 3)
+    if model_name == "ani2x":
+        pot = zoo.ani2x(num_models=num_models, dtype=jnp.float32,
+                        repulsion=True, atom_chunk=chunk)
+    else:
+        pot = zoo.all_models[model_name](num_models=num_models,
+                                         dtype=jnp.float32,
+                                         atom_chunk=chunk)
     box = lat.Box(h=jnp.asarray(data.box_h, jnp.float32),
                   origin=jnp.asarray(data.box_origin, jnp.float32))
 
@@ -198,13 +208,17 @@ def main():
     ns_per_day = dt * 86.4 / ms_per_step
     matom_steps = n_atoms * steps_per_s / 1e6
 
+    metric = f"water{n_atoms // 1000}k_ns_per_day"
+    if model_name != "ani2x":
+        metric = f"water{n_atoms // 1000}k_{model_name}_ns_per_day"
     result = {
-        "metric": f"water{n_atoms // 1000}k_ns_per_day",
+        "metric": metric,
         "value": round(ns_per_day, 4),
         "unit": "ns/day",
         "vs_baseline": round(ns_per_day / BASELINE_NS_PER_DAY, 4),
         "detail": {
             "n_atoms": n_atoms,
+            "model": model_name,
             "num_models": num_models,
             "total_steps": total_steps,
             "wall_s": round(wall, 2),

@@ -643,17 +643,38 @@ class Simulation:
         import os as _os
         from ..ops import aev_asn as apasn
 
-        t_env = int(_os.environ.get("LAT_ANG_TIERS", "2"))
+        t_env = int(_os.environ.get("LAT_ANG_TIERS", "3"))
         min_n = int(_os.environ.get("LAT_ANG_TIER_MIN_N", "4096"))
         if t_env < 2 or self.n_atoms < min_n:
             return None
+        m0 = float(_os.environ.get("LAT_TIER0_MARGIN", "1.06"))
+        m1 = float(_os.environ.get("LAT_TIER_ROWS_MARGIN", "1.3"))
+        n = self.n_atoms
+        if apasn._packed_on() and t_env > 2:
+            # packed layout: exact pair counts make fine chunk-budget
+            # ladders pay (the per-block kernels' 128-lane floor per
+            # block made sub-tier caps worthless below 3 x 128)
+            ladder = apasn.search_tier_ladder(cnt, caps,
+                                              max_pre=t_env - 1)
+            if ladder is not None:
+                used = 0
+                tiers = []
+                for caps_t, n_t in ladder:
+                    tiers.append((tuple(caps_t),
+                                  min(int(n_t * m0) + 64, n)))
+                    used += n_t
+                # the LAST tier's row capacity is the only correctness
+                # bound (pre-tier spill cascades into it): give it a
+                # generous floor — its full-caps rows are cheap next to
+                # the regrow recompile a tight bound causes every time
+                # thermal drift moves a few hundred rows across tiers
+                tiers.append((tuple(caps),
+                              min(int((n - used) * m1) + 4096, n)))
+                return tuple(tiers)
         res = apasn.search_tiers(cnt, caps)
         if res is None:
             return None
         caps0, n0 = res
-        m0 = float(_os.environ.get("LAT_TIER0_MARGIN", "1.06"))
-        m1 = float(_os.environ.get("LAT_TIER_ROWS_MARGIN", "1.3"))
-        n = self.n_atoms
         rows0 = min(int(n0 * m0) + 64, n)
         rows1 = min(int((n - n0) * m1) + 256, n)
         return ((tuple(caps0), rows0), (tuple(caps), rows1))

@@ -1592,6 +1592,335 @@ def _run_tri_bwd(spec, a, arm, ga_blk, rows_t, r, interpret, dtype):
     return outs
 
 
+# ---------------------------------------------------------------------------
+# Packed pair blocks (round 5): ALL species-pair blocks' true pairs in one
+# static chunked lane layout + one-hot MXU reductions
+# ---------------------------------------------------------------------------
+
+
+def _packed_on():
+    """Packed pair blocks (LAT_ANG_PACKED=0 reverts to the per-block
+    full-matrix/triangle kernels for A/B)."""
+    return _os.environ.get("LAT_ANG_PACKED", "1") != "0"
+
+
+def _packed_layout(spec, caps, a_offs):
+    """Static global pair-lane layout: every present species-pair
+    block's TRUE pairs — strict upper triangle for same-species, full
+    rectangle for cross-species, each unordered pair exactly once at
+    scale 2 — packed consecutively and chunked by 128 lanes.
+
+    This removes the two structural wastes of the per-block kernels:
+    the 128-lane floor each block paid separately, and the cross-block
+    rectangle that triangle packing couldn't reach (VERDICT r4 #1's
+    "cross-species pair-lane packing" lever); with exact per-caps pair
+    counts, tier caps can shrink to the true degree distribution.
+
+    Returns (blocks, q_total, n_chunks) with blocks =
+    [(s1, s2, ch0, off1, off2, a1, a2, same, base)] in _pair_blocks
+    order; base = the block's first global pair index."""
+    blocks = []
+    base = 0
+    for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps):
+        if s1 not in a_offs or s2 not in a_offs:
+            continue
+        q_b = a1 * (a1 - 1) // 2 if same else a1 * a2
+        if q_b == 0:
+            continue
+        blocks.append((s1, s2, ch0, a_offs[s1][0], a_offs[s2][0],
+                       a1, a2, same, base))
+        base += q_b
+    if not blocks:
+        return None
+    return tuple(blocks), base, -(-base // _LANE)
+
+
+def _packed_cost(spec, caps, a_offs):
+    """Padded pair lanes per row under the packed layout (tier-search
+    work model)."""
+    lay = _packed_layout(spec, caps, a_offs)
+    return 0 if lay is None else lay[2] * _LANE
+
+
+def _packed_maps(blocks, q_total, g, shape, dim):
+    """Per-lane (arm-1 slot, arm-2 slot, output column base) maps for
+    chunk `g` (traced), on a `shape`-shaped iota along `dim`.
+
+    Closed forms only (pallas kernels cannot capture array constants):
+    same-species j from the triangle segment-offset compares + k from
+    j*(2a-j-1)/2; cross-species j = t // a2 (constant divisor). Dead
+    lanes (t >= q_total) park on pad lane _LANE - 1 (fc = 0 there kills
+    their contribution exactly) and output column 0."""
+    t = jax.lax.broadcasted_iota(jnp.int32, shape, dim) + g * _LANE
+    i1 = jnp.full(shape, _LANE - 1, jnp.int32)
+    i2 = jnp.full(shape, _LANE - 1, jnp.int32)
+    col0 = jnp.zeros(shape, jnp.int32)
+    asub_i = 0
+    for bi, (s1, s2, ch0, off1, off2, a1, a2, same, base) in enumerate(
+            blocks):
+        q_b = a1 * (a1 - 1) // 2 if same else a1 * a2
+        tt = t - base
+        inb = (tt >= 0) & (tt < q_b)
+        if same:
+            j = jnp.zeros(shape, jnp.int32)
+            for jj in range(1, a1 - 1):
+                j = j + (tt >= jj * (2 * a1 - jj - 1) // 2).astype(
+                    jnp.int32)
+            # j*(2a-j-1) is even; //2 lowers to a shift. A general
+            # constant divisor may not (signed non-power-of-2 vector
+            # division), hence the compare form for the cross blocks
+            k = tt - (j * (2 * a1 - j - 1)) // 2 + j + 1
+        else:
+            j = jnp.zeros(shape, jnp.int32)
+            for jj in range(1, a1):
+                j = j + (tt >= jj * a2).astype(jnp.int32)
+            k = tt - j * a2
+        i1 = jnp.where(inb, off1 + j, i1)
+        i2 = jnp.where(inb, (off1 if same else off2) + k, i2)
+        col0 = jnp.where(inb, bi, col0)
+    valid = t < q_total
+    i1 = jnp.where(valid, i1, _LANE - 1)
+    i2 = jnp.where(valid, i2, _LANE - 1)
+    return i1, i2, col0, valid
+
+
+# one-hot/membership mask dots: fp32 contract precision (Mosaic supports
+# only DEFAULT=bf16 and HIGHEST=fp32 in-kernel; bf16 would round the
+# VALUE side to 8 mantissa bits)
+_DOT_HI = dict(precision=jax.lax.Precision.HIGHEST)
+
+
+def _mask_dot(x, w, dtype):
+    """x @ w for 0/1 mask weights (exact in bf16), full f32 accuracy.
+
+    f32 path: manual bf16x3 split of x, one DEFAULT (single-pass bf16)
+    dot per piece — each piece is bf16-exact so the pass is lossless,
+    and the 0/1 mask side needs no split at all, which makes three
+    single passes reproduce the full-f32 product at ~1/3 the cost of
+    Mosaic's fp32 contract mode (6-ish emulation passes; measured
+    ~8.4 ms vs ~0.8 ms per 32 [256,128]x[128,96] dots). Split pieces
+    are flushed so no subnormal reaches the MXU. Other dtypes (f64
+    oracle/interpret): one HIGHEST dot, bit-stable."""
+    if x.dtype != jnp.float32:
+        return jax.lax.dot(x, w, preferred_element_type=x.dtype,
+                           **_DOT_HI)
+    acc = None
+    r = x
+    for i in range(3):
+        hi = r.astype(jnp.bfloat16).astype(jnp.float32)
+        d = jax.lax.dot(hi, w, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.DEFAULT)
+        acc = d if acc is None else acc + d
+        if i < 2:
+            r = r - hi
+            r = jnp.where(jnp.abs(r) > 1e-36, r, 0.0)
+    return acc
+
+
+def _packed_gather_arms(spec, refs, blocks, q_total, g, dtype):
+    """Gather both arms of chunk g from the full [r, atot] compact rows
+    (one per-vreg dynamic gather per quantity per arm) and run the
+    shared pair-term body. Returns (pt, i1, i2, col0)."""
+    r = refs[0].shape[0]
+    big = 2.0 * spec.angular_cutoff + 10.0
+    i1, i2, col0, valid = _packed_maps(blocks, q_total, g, (r, _LANE), 1)
+    p = {}
+    for ref, key, padv in zip(refs, _COMPACT_KEYS[:5], _ARM_PADS):
+        v = big if padv is None else padv
+        x = ref[...]
+        xp = jnp.pad(x, ((0, 0), (0, _LANE - x.shape[1])),
+                     constant_values=v)
+        p[key + "1"] = jnp.take_along_axis(xp, i1, axis=1)
+        p[key + "2"] = jnp.take_along_axis(xp, i2, axis=1)
+    consts = _angular_consts(spec, dtype)
+    pt = _pair_terms_core(
+        spec, consts, p["d1"], p["d2"], p["fc1"], p["fc2"],
+        (p["ux1"], p["uy1"], p["uz1"]), (p["ux2"], p["uy2"], p["uz2"]),
+        dtype)
+    return pt, i1, i2, col0
+
+
+def _packed_fwd_kernel(*refs, spec, blocks, q_total, ncols, dtype):
+    """Forward over packed pair chunks: grid = (row tiles, chunks); the
+    32 (shf_a, shf_z) column sums of every block land in one [r, ncols]
+    output through one-hot MXU dots (the VPU log-shuffle lane reductions
+    were the forward's top cost; the MXU is idle here)."""
+    sl = refs[0:5]
+    out = refs[5]
+    g = pl.program_id(1)
+    pt, i1, i2, col0 = _packed_gather_arms(spec, sl, blocks, q_total, g,
+                                           dtype)
+    nsz = len(spec.shf_z)
+    r = sl[0].shape[0]
+    # the weight masks need the per-lane column base on SUBLANES: rebuild
+    # the map in [_LANE, ncols] orientation (a [r, 128] row extract +
+    # [:, None] would be a Mosaic lane->sublane relayout — measured as a
+    # ~1000x kernel cliff)
+    _, _, col0s, _ = _packed_maps(blocks, q_total, g, (_LANE, ncols), 0)
+    cbase = col0s * (len(spec.shf_a) * nsz)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (_LANE, ncols), 1)
+
+    @pl.when(g == 0)
+    def _():
+        out[...] = jnp.zeros_like(out[...])
+
+    # flush small products before they reach the MXU: keeps every bf16
+    # split term of _mask_dot normal (no subnormal operands) at zero
+    # accuracy cost — the dropped terms are < 1e-30 of an O(1) column sum
+    pmin = jnp.asarray(1e-30 if dtype == jnp.float32 else 0.0, dtype)
+    acc = jnp.zeros((r, ncols), dtype)
+    for j, e in enumerate(pt["e_j"]):
+        f2 = pt["fc12"] * e
+        for m, f1 in enumerate(pt["f1_m"]):
+            w = (ci == cbase + (j * nsz + m)).astype(dtype)
+            c = f2 * f1
+            c = jnp.where(c > pmin, c, jnp.zeros((), dtype))
+            acc = acc + _mask_dot(c, w, dtype)
+    out[...] = out[...] + 2.0 * acc
+
+
+def _packed_bwd_kernel(*refs, spec, blocks, q_total, ncols, atot, dtype):
+    """Backward over packed pair chunks: per-lane cotangent columns come
+    in by one-hot MXU dots (gav @ W), and both arms' per-slot sums leave
+    by membership MXU dots ([r, 128] pair values @ [128, atot] slot
+    masks) — no strided VPU reduces, no per-block output merging."""
+    sl = refs[0:5]
+    ga = refs[5]
+    outs = refs[6:11]
+    g = pl.program_id(1)
+    eta, zeta, mu0, delta, steps, cos_m, sin_m = _angular_consts(spec,
+                                                                 dtype)
+    rca = spec.angular_cutoff
+    nsz = len(spec.shf_z)
+    pt, i1, i2, col0 = _packed_gather_arms(spec, sl, blocks, q_total, g,
+                                           dtype)
+    r = sl[0].shape[0]
+    gav = ga[...]
+    colb = col0[0] * (len(spec.shf_a) * nsz)  # [128]
+    ri = jax.lax.broadcasted_iota(jnp.int32, (ncols, _LANE), 0)
+    tq = pt["fc12"].shape
+
+    df2 = [jnp.zeros(tq, dtype) for _ in spec.shf_a]
+    dcos = jnp.zeros(tq, dtype)
+    for m in range(nsz):
+        f1 = pt["f1_m"][m]
+        df1_m = jnp.zeros(tq, dtype)
+        for j in range(len(spec.shf_a)):
+            wt = (ri == (colb + (j * nsz + m))[None, :]).astype(dtype)
+            g_jm = _mask_dot(gav, wt, dtype) * 2.0
+            f2 = pt["fc12"] * pt["e_j"][j]
+            df1_m = df1_m + g_jm * f2
+            df2[j] = df2[j] + g_jm * f1
+        dbase = df1_m * (zeta / pt["base_m"][m]) * f1
+        dcos = dcos + dbase * 0.5 * (
+            cos_m[m] - pt["c95"] / pt["sv"] * sin_m[m]) * 0.95
+
+    drmean = jnp.zeros(tq, dtype)
+    dfc12 = jnp.zeros(tq, dtype)
+    for j in range(len(spec.shf_a)):
+        e = pt["e_j"][j]
+        drmean = drmean + df2[j] * pt["fc12"] * e * (
+            -2.0 * eta) * (pt["x2"] - j * delta)
+        dfc12 = dfc12 + df2[j] * e
+    drmean = jnp.where(pt["d1p"] + pt["d2p"] <= 2.0 * (rca + 1.0),
+                       drmean, jnp.zeros((), dtype))
+
+    u1x, u1y, u1z = pt["u1"]
+    u2x, u2y, u2z = pt["u2"]
+    arm1 = dict(ux=dcos * u2x, uy=dcos * u2y, uz=dcos * u2z,
+                d=0.5 * drmean, fc=dfc12 * pt["fc2p"])
+    arm2 = dict(ux=dcos * u1x, uy=dcos * u1y, uz=dcos * u1z,
+                d=0.5 * drmean, fc=dfc12 * pt["fc1p"])
+
+    # membership masks [128, atot] from the slot maps (sublane-oriented
+    # rebuild of the same closed forms; pad lanes map to no slot)
+    i1s, i2s, _, _ = _packed_maps(blocks, q_total, g, (_LANE, atot), 0)
+    si = jax.lax.broadcasted_iota(jnp.int32, (_LANE, atot), 1)
+    m1 = (i1s == si).astype(dtype)
+    m2 = (i2s == si).astype(dtype)
+
+    @pl.when(g == 0)
+    def _():
+        for ref in outs:
+            ref[...] = jnp.zeros_like(ref[...])
+
+    for ref, key in zip(outs, _COMPACT_KEYS[:5]):
+        ref[...] = ref[...] + (_mask_dot(arm1[key], m1, dtype)
+                               + _mask_dot(arm2[key], m2, dtype))
+
+
+def _r_packed(r, ncols, bwd):
+    """Row tile for the packed kernels against the ~15 MB scoped-vmem
+    budget (Mosaic's stack allocator never reuses slots: the backward
+    holds ~95 live [r, 128] planes + the [r, ncols] cotangent rows)."""
+    planes = (95 + ncols // 16) if bwd else (55 + ncols // 16)
+    while r > 8 and r * 512 * planes > 14 * 2 ** 20:
+        r //= 2
+    return r
+
+
+def _run_packed_fwd(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
+                    dtype):
+    """All pair blocks of one tier through the packed forward; returns
+    {channel offset: [rows_t, asub]} like _run_fwd_blocks."""
+    asub = spec.angular_sublength
+    lay = _packed_layout(spec, caps_t, a_offs)
+    if lay is None:
+        return {}
+    blocks, q_total, n_chunks = lay
+    ncols = len(blocks) * asub
+    atot = cfl_t[0].shape[1]
+    rp = _r_packed(r, ncols, bwd=False)
+    kern = functools.partial(
+        _packed_fwd_kernel, spec=spec, blocks=blocks, q_total=q_total,
+        ncols=ncols, dtype=dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=(rows_t // rp, n_chunks),
+        in_specs=[_flat2_spec(atot, rp)] * 5,
+        out_specs=_flat2_spec(ncols, rp),
+        out_shape=jax.ShapeDtypeStruct((rows_t, ncols), dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*cfl_t)
+    return {b[2]: jax.lax.slice(out, (0, i * asub),
+                                (rows_t, (i + 1) * asub))
+            for i, b in enumerate(blocks)}
+
+
+def _run_packed_bwd(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
+                    rows_t, r, interpret, dtype):
+    """All pair blocks of one tier through the packed backward; returns
+    the 5 per-slot cotangent sums [rows_t, atot] like _run_bwd_blocks.
+    `ga_t` columns are reordered to the packed blocks' order first (the
+    kernel's column-base map assumes block-major asub runs)."""
+    asub = spec.angular_sublength
+    lay = _packed_layout(spec, caps_t, a_offs)
+    if lay is None:
+        return None
+    blocks, q_total, n_chunks = lay
+    ncols = len(blocks) * asub
+    cols = [jax.lax.slice(ga_t, (0, ga_off[b[2]]),
+                          (rows_t, ga_off[b[2]] + asub)) for b in blocks]
+    ga_p = cols[0] if len(cols) == 1 else jnp.concatenate(cols, axis=1)
+    rp = _r_packed(r, ncols, bwd=True)
+    kern = functools.partial(
+        _packed_bwd_kernel, spec=spec, blocks=blocks, q_total=q_total,
+        ncols=ncols, atot=atot, dtype=dtype)
+    outs = pl.pallas_call(
+        kern,
+        grid=(rows_t // rp, n_chunks),
+        in_specs=[_flat2_spec(atot, rp)] * 5 + [_flat2_spec(ncols, rp)],
+        out_specs=[_flat2_spec(atot, rp)] * 5,
+        out_shape=[jax.ShapeDtypeStruct((rows_t, atot), dtype)] * 5,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(*cfl_t, ga_p)
+    return list(outs)
+
+
 def _chain_to_stage1(spec, compact_refs, g_refs, rank2, r_rows, t_rows,
                      cap, kpad, atot, dtype):
     """Per-slot cotangents -> stage-1 compact lanes: chain the packed-A
@@ -1774,6 +2103,9 @@ def _run_fwd_blocks(spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
     {channel offset: [rows_t, asub]}."""
     asub = spec.angular_sublength
     rca = spec.angular_cutoff
+    if _packed_on():
+        return _run_packed_fwd(spec, caps_t, a_offs, cfl_t, rows_t, r,
+                               interpret, dtype)
     pieces = {}
     for s1, s2, a1, a2, ch0, same in _pair_blocks(spec, caps_t):
         if s1 not in a_offs or s2 not in a_offs:
@@ -2037,6 +2369,13 @@ def search_tiers(cnt, caps):
     n = cnt.shape[0]
 
     def work(cp):
+        if _packed_on():
+            # packed layout: exact pair counts, one shared 128-lane pad
+            q = sum(cp[s1] * (cp[s1] - 1) // 2 if s1 == s2
+                    else cp[s1] * cp[s2]
+                    for i, s1 in enumerate(present)
+                    for s2 in present[i:])
+            return -(-q // _LANE) * _LANE
         return sum(_block_cost(cp[s1], cp[s2], s1 == s2)
                    for i, s1 in enumerate(present)
                    for s2 in present[i:])
@@ -2067,6 +2406,101 @@ def search_tiers(cnt, caps):
     if cp == caps or cost / (n * w_full) > 0.92:
         return None
     return cp, n0
+
+
+def search_tier_ladder(cnt, caps, max_pre=2):
+    """Multi-tier ladder under the PACKED pair-lane cost model: for each
+    chunk budget below the full layout's, find the caps with maximal row
+    coverage whose exact pair count fits the budget, then pick the
+    subset of candidates (up to `max_pre` tiers before the full-caps
+    tier) minimizing total padded-lane work. The packed layout makes
+    fine ladders worthwhile: per-block kernels paid a 128-lane floor
+    PER BLOCK, so sub-tier caps saved nothing below 3 blocks x 128.
+
+    Returns ((caps_t, n_fit_exclusive), ...) for the pre-tiers (chunk
+    count ascending), or None when one tier is already optimal."""
+    import itertools as _it
+
+    caps = tuple(int(c) for c in caps)
+    present = [s for s in range(len(caps)) if caps[s] > 0]
+    if not present:
+        return None
+    cnt = np.asarray(cnt)
+    n = cnt.shape[0]
+
+    def q_pairs(cp):
+        return sum(cp[s1] * (cp[s1] - 1) // 2 if s1 == s2
+                   else cp[s1] * cp[s2]
+                   for i, s1 in enumerate(present)
+                   for s2 in present[i:])
+
+    chunks_full = -(-q_pairs(caps) // _LANE)
+    if chunks_full <= 1:
+        return None
+    if len(present) > 4:
+        combos = None  # grid blows up; fall back to quantile candidates
+    else:
+        cands = {s: list(range(2, caps[s] + 1, 2)) for s in present}
+        combos = [tuple(dict(zip(present, combo)).get(s, 0)
+                        for s in range(len(caps)))
+                  for combo in _it.product(*(cands[s] for s in present))]
+
+    def fit_mask(cp):
+        f = np.ones(n, bool)
+        for s in present:
+            f &= cnt[:, s] <= cp[s]
+        return f
+
+    def fits(cp):
+        return int(fit_mask(cp).sum())
+
+    best_at = {}
+    if combos is None:
+        for pc in (70, 85, 93, 97):
+            cp = tuple(
+                min(caps[s], max(2, -(-int(np.percentile(cnt[:, s], pc))
+                                      // 2) * 2)) if caps[s] else 0
+                for s in range(len(caps)))
+            c = -(-q_pairs(cp) // _LANE)
+            if c < chunks_full:
+                nf = fits(cp)
+                if c not in best_at or nf > best_at[c][0]:
+                    best_at[c] = (nf, cp)
+    else:
+        for cp in combos:
+            c = -(-q_pairs(cp) // _LANE)
+            if c >= chunks_full:
+                continue
+            nf = fits(cp)
+            if c not in best_at or nf > best_at[c][0]:
+                best_at[c] = (nf, cp)
+    cand = sorted((c, nf, cp) for c, (nf, cp) in best_at.items())
+    if not cand:
+        return None
+
+    masks = {cp: fit_mask(cp) for _, _, cp in cand}
+    best = (1.0 * n * chunks_full, ())  # untiered baseline
+    subsets = [s for k in range(1, max_pre + 1)
+               for s in _it.combinations(cand, k)]
+    for sub in subsets:
+        assigned = np.zeros(n, bool)
+        cost = 0.0
+        rows = []
+        for c, _, cp in sub:  # chunk-count ascending (cap tuples need
+            m = masks[cp] & ~assigned  # not nest — exact masks)
+            n_t = int(m.sum())
+            cost += 1.06 * n_t * c
+            rows.append((cp, n_t))
+            assigned |= m
+        cost += 1.1 * (n - int(assigned.sum())) * chunks_full
+        # per-tier dispatch overhead (row gathers + partition bisects),
+        # in chunk-equivalents per row — keeps near-empty tiers out
+        cost += 0.12 * n * len(sub)
+        if cost < best[0]:
+            best = (cost, tuple(rows))
+    if not best[1] or best[0] / (n * chunks_full) > 0.95:
+        return None
+    return best[1]
 
 
 def _norm_tiers(tiers, caps, r, n_pad2):
@@ -2266,6 +2700,9 @@ def _run_bwd_blocks(spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off,
     carry only the present blocks' cotangent columns)."""
     asub = spec.angular_sublength
     rca = spec.angular_cutoff
+    if _packed_on():
+        return _run_packed_bwd(spec, caps_t, a_offs, atot, cfl_t, ga_t,
+                               ga_off, rows_t, r, interpret, dtype)
 
     def placed(val, off, a):
         return jnp.pad(val, ((0, 0), (off, atot - off - a)))

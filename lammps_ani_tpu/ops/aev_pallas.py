@@ -711,9 +711,17 @@ def _pair_terms_core(spec, consts, d1p, d2p, fc1p, fc2p, u1, u2, dtype):
 
     rmean = 0.5 * (d1p + d2p)
     x2 = jnp.minimum(rmean, rca + 1.0) - mu0  # clamp: parked slots are big
-    # direct exp per shift (the recurrence underflows f32 at far rmean)
-    e_j = [jnp.exp(-eta * (x2 - j * delta) ** 2)
-           for j in range(len(spec.shf_a))]
+    # direct exp per shift (the recurrence underflows f32 at far rmean).
+    # Flush the f32 denormal band to exact zero so no subnormal operand
+    # reaches downstream kernels (the packed MXU dots in particular):
+    # exp(-75) = 2.7e-33 contributes nothing at f32 precision. f64 never
+    # reaches its flush bound in practice, so f64 oracle parity is
+    # bit-identical.
+    tiny = jnp.asarray(-75.0 if dtype == jnp.float32 else -700.0, dtype)
+    e_j = []
+    for j in range(len(spec.shf_a)):
+        a = -eta * (x2 - j * delta) ** 2
+        e_j.append(jnp.where(a > tiny, jnp.exp(a), jnp.zeros((), dtype)))
 
     base_m, f1_m = [], []
     for m in range(len(spec.shf_z)):
