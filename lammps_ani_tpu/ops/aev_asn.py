@@ -664,45 +664,63 @@ def _rep_pair(rep, dist, a_ij, z_ij, valid, dtype):
     return 0.5 * e, 0.5 * de  # half per directed pair
 
 
-def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
-                           *, spec, rep, cap, sections, kpad, wpad,
-                           compact_cols, dtype):
+def _radial_cols_mxu(spec, rep, sections, masks, pcs, dist, valid,
+                     t_rows, cap, kpad, compact_cols, n_cols, dtype):
+    """Radial (+repulsion) AEV columns [T, cap, n_cols] via one-hot MXU
+    dots: each shift's basis row t_k [R, kpad] contracts against a
+    static lane->column mask (lane in section si AND column == its
+    (si, k) slot) — replacing 2*n_shf+1 VPU lane reductions per row
+    with n_shf+1 mask matmuls on the otherwise-idle MXU. The repulsion
+    energy rides the LAST column (its own output would need a separate
+    block spec; see the round-4 notes on regrown-shape Mosaic rules)."""
     eta, mu0, delta, steps = _radial_consts(spec, dtype)
     rc = spec.radial_cutoff
     n_shf = len(spec.shf_r)
+    r_rows = t_rows * cap
+    in_cut = valid & (dist <= rc)
+    fc = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
+                   jnp.zeros((), dtype))
+    x = jnp.minimum(dist, rc + 1.0) - mu0
+    pref = 0.25 * fc
+    offs, _ = _sec_offsets(sections)
+    li = jax.lax.broadcasted_iota(jnp.int32, (kpad, n_cols), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (kpad, n_cols), 1)
+    pmin = jnp.asarray(1e-30 if dtype == jnp.float32 else 0.0, dtype)
+
+    acc = jnp.zeros((r_rows, n_cols), dtype)
+    for k in range(n_shf):
+        w = None
+        for si, ((s, k_s), off) in enumerate(zip(sections, offs)):
+            col = (si if compact_cols else s) * n_shf + k
+            m = (li >= off) & (li < off + k_s) & (ci == col)
+            w = m if w is None else (w | m)
+        xk = x - k * delta
+        t = pref * jnp.exp(-eta * xk * xk)
+        t = jnp.where(t > pmin, t, jnp.zeros((), dtype))
+        acc = acc + _mask_dot(t, w.astype(dtype), dtype)
+    if rep is not None:
+        a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
+                                 cap, dtype)
+        e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
+        e = jnp.where(e > pmin, e, jnp.where(e < -pmin, e,
+                                             jnp.zeros((), dtype)))
+        wrep = (ci == n_cols - 1).astype(dtype)
+        acc = acc + _mask_dot(e, wrep, dtype)
+    return acc.reshape(t_rows, cap, n_cols)
+
+
+def _radial_fwd_asn_kernel(px, py, pz, pcs, cx, cy, cz, idxr, out,
+                           *, spec, rep, cap, sections, kpad, wpad,
+                           compact_cols, dtype):
     t_rows = px.shape[0]
     r_rows = t_rows * cap
 
     iv, ax, ay, az, dist, valid = _compact_geometry(
         px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
     masks = _sec_masks(sections, r_rows, kpad, dtype)
-    in_cut = valid & (dist <= rc)
-    fc = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
-                   jnp.zeros((), dtype))
-    x = jnp.minimum(dist, rc + 1.0) - mu0
-    pref = 0.25 * fc
-
-    out[...] = jnp.zeros_like(out[...])
-    for k in range(n_shf):
-        xk = x - k * delta
-        t = pref * jnp.exp(-eta * xk * xk)
-        for si, (s, _) in enumerate(sections):
-            # compact_cols: present-species sections only, packed
-            col = (si if compact_cols else s) * n_shf + k
-            out[:, :, col] = _row_sum(t * masks[s], t_rows, cap)
-
-    if rep is not None:
-        a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
-                                 cap, dtype)
-        e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        # the repulsion energy rides lane column `srl` of the radial out
-        # array: a separate output needs its own block spec, and neither
-        # 2-D [t, cap] (t < 8 after a capacity regrow violates Mosaic's
-        # 8-divisibility rule) nor 3-D [t, 1, cap] (the middle unit axis
-        # hit an XLA fusion-layout CHECK with the strain cotangent live)
-        # compiles across all regrown shapes — the out block's last two
-        # dims equal the array dims, which Mosaic accepts for ANY t
-        out[:, :, out.shape[-1] - 1] = _row_sum(e, t_rows, cap)
+    out[...] = _radial_cols_mxu(
+        spec, rep, sections, masks, pcs, dist, valid, t_rows, cap, kpad,
+        compact_cols, out.shape[-1], dtype)
 
 
 def _radial_gamma_core(spec, rep, sections, masks, pcs, ga, iv, ax, ay,
@@ -1126,27 +1144,10 @@ def _step_fused_kernel(px, py, pz, pcs, cx, cy, cz, idxr, *refs,
         px, py, pz, cx, cy, cz, idxr, cap, kpad, wpad)
     masks = _sec_masks(sections, r_rows, kpad, dtype)
 
-    # radial channel
-    eta, mu0, delta, steps = _radial_consts(spec, dtype)
-    rc = spec.radial_cutoff
-    n_shf = len(spec.shf_r)
-    in_cut = valid & (dist <= rc)
-    fcr = jnp.where(in_cut, 0.5 * jnp.cos(dist * (math.pi / rc)) + 0.5,
-                    jnp.zeros((), dtype))
-    x = jnp.minimum(dist, rc + 1.0) - mu0
-    pref = 0.25 * fcr
-    rad_o[...] = jnp.zeros_like(rad_o[...])
-    for k in range(n_shf):
-        xk = x - k * delta
-        t = pref * jnp.exp(-eta * xk * xk)
-        for si, (s, _) in enumerate(sections):
-            col = (si if compact_cols else s) * n_shf + k
-            rad_o[:, :, col] = _row_sum(t * masks[s], t_rows, cap)
-    if rep is not None:
-        a_ij, z_ij = _rep_params(rep, sections, masks, _ldp(pcs), t_rows,
-                                 cap, dtype)
-        e, _ = _rep_pair(rep, dist, a_ij, z_ij, valid & (z_ij > 0), dtype)
-        rad_o[:, :, rad_o.shape[-1] - 1] = _row_sum(e, t_rows, cap)
+    # radial channel (one-hot MXU section sums)
+    rad_o[...] = _radial_cols_mxu(
+        spec, rep, sections, masks, pcs, dist, valid, t_rows, cap, kpad,
+        compact_cols, rad_o.shape[-1], dtype)
 
     # angular stage-2 compaction
     packed, deficit, rank2 = _stage2_compact(
@@ -2187,6 +2188,7 @@ def _angular_pair_stage(spec, sections, caps, tiers, interpret, n,
         pieces = _run_fwd_blocks(spec, caps, a_offs, cflat, n_pad2, r,
                                  interpret, dtype)
         pieces = {ch0: blk[:n] for ch0, blk in pieces.items()}
+        part = {"cflat": tuple(cflat)}
         if compact_cols:
             cat_out = jnp.concatenate(
                 [pieces[ch0] for ch0 in sorted(pieces)], axis=1)
@@ -2195,17 +2197,24 @@ def _angular_pair_stage(spec, sections, caps, tiers, interpret, n,
         cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
         pos_of, row_ats, valids, spill = _tier_partition(
             cnts, sp_order, tiers_n, n)
-        part = (pos_of, tuple(row_ats), tuple(valids))
         cflat_cat = jnp.concatenate(cflat, axis=1)
         pad_row = _tier_pad_row(atot, rca, dtype)
         tier_pieces = []
+        cats = []
         for (caps_t, rows_t), row_at, valid in zip(tiers_n, row_ats,
                                                    valids):
-            cfl_t = _split_cat(_gather_tier_cat(
-                cflat_cat, row_at, valid, pad_row), atot)
+            cat_t = _gather_tier_cat(cflat_cat, row_at, valid, pad_row)
+            cats.append(cat_t)
+            cfl_t = _split_cat(cat_t, atot)
             tier_pieces.append(_run_fwd_blocks(
                 spec, caps_t, a_offs, cfl_t, rows_t, r, interpret,
                 dtype))
+        # the gathered tier rows ride the VJP residuals (`cats`): the
+        # backward consumes the SAME arm inputs, so saving them deletes
+        # its whole regather chain (compact->flat gathers + concat +
+        # per-tier row gathers + the layout fixups XLA wraps them in)
+        part = {"pos_of": pos_of, "row_at": tuple(row_ats),
+                "valid": tuple(valids), "cats": tuple(cats)}
         # concat PRESENT blocks only (columns) and tiers (rows); ONE row
         # gather returns atom order — absent species pairs (zero columns,
         # up to 28-choose for 7 species) must not ride the gather.
@@ -2768,9 +2777,20 @@ def _angular_gsum_grid(spec, sections, caps, tiers, interpret, n,
     rca = spec.angular_cutoff
     a_offs, atot = _a_offsets(sections, caps)
     assert atot <= _LANE - 1, atot
-    cflat = _compact_to_flat(compact, cell[:n], slot[:n], nc, n, rca,
-                             dtype)
-    n_pad2 = cflat[0].shape[0]
+    # the forward's gathered arm rows ride the residuals (`part`): the
+    # backward consumes the SAME inputs, so nothing here regathers the
+    # grid-layout compact arrays unless the residuals are absent
+    has_cflat = isinstance(part, dict) and "cflat" in part
+    has_cats = isinstance(part, dict) and "cats" in part
+    if has_cflat:
+        cflat = list(part["cflat"])
+    elif not has_cats:
+        cflat = _compact_to_flat(compact, cell[:n], slot[:n], nc, n,
+                                 rca, dtype)
+    else:
+        cflat = None
+    n_pad2 = (cflat[0].shape[0] if cflat is not None
+              else -(-n // _r_flat(n)) * _r_flat(n))
     r = _r_flat(n)
     tiers_n = _norm_tiers(tiers, caps, r, n_pad2)
     asub = spec.angular_sublength
@@ -2786,15 +2806,20 @@ def _angular_gsum_grid(spec, sections, caps, tiers, interpret, n,
             spec, caps, a_offs, atot, cflat, ga_pad, ga_off, n_pad2, r,
             interpret, dtype)]
     else:
-        if part is not None:
-            # the forward's partition rides the residuals (same inputs
-            # would reproduce it exactly; saving skips the counts +
-            # cumsum/bisect recompute — the arrays are n-sized int32)
-            pos_of, row_ats, valids = part
+        if has_cats:
+            pos_of = part["pos_of"]
+            row_ats, valids = part["row_at"], part["valid"]
+            cats = part["cats"]
         else:
             cnts, sp_order = _row_counts(cflat[3], a_offs, rca)
             pos_of, row_ats, valids, _ = _tier_partition(
                 cnts, sp_order, tiers_n, n)
+            cflat_cat = jnp.concatenate(cflat, axis=1)
+            pad_row = _tier_pad_row(atot, rca, dtype)
+            cats = [
+                _gather_tier_cat(cflat_cat, row_at, valid, pad_row)
+                for (_, _), row_at, valid in zip(tiers_n, row_ats,
+                                                 valids)]
         # present blocks' cotangent columns only, concatenated — the
         # tier row-gathers must not move the absent pairs' zero columns.
         # compact_cols mode: ga_flat already IS that layout.
@@ -2803,13 +2828,10 @@ def _angular_gsum_grid(spec, sections, caps, tiers, interpret, n,
             ga_flat if compact_cols else jnp.concatenate(
                 [jax.lax.slice(ga_flat, (0, ch0), (n, ch0 + asub))
                  for ch0 in chans_c], axis=1), n_pad2, 0.0)
-        cflat_cat = jnp.concatenate(cflat, axis=1)
-        pad_row = _tier_pad_row(atot, rca, dtype)
         parts = []
-        for (caps_t, rows_t), row_at, valid in zip(tiers_n, row_ats,
-                                                   valids):
-            cfl_t = _split_cat(_gather_tier_cat(
-                cflat_cat, row_at, valid, pad_row), atot)
+        for (caps_t, rows_t), row_at, valid, cat_t in zip(
+                tiers_n, row_ats, valids, cats):
+            cfl_t = _split_cat(cat_t, atot)
             ga_t = jnp.where(valid[:, None], ga_cat[row_at], 0.0)
             parts.append(_run_bwd_blocks(
                 spec, caps_t, a_offs, atot, cfl_t, ga_t, ga_off, rows_t,
