@@ -578,6 +578,20 @@ def _sec_masks(sections, r_rows, kpad, dtype):
     return out
 
 
+def _div_const(v, d: int, bound: int):
+    """v // d for non-negative v < bound via multiply-shift (exactness
+    verified over the full range at trace time): vector integer division
+    by a non-power-of-2 constant may not lower to the VPU."""
+    if d & (d - 1) == 0:
+        return v >> d.bit_length() - 1
+    s = 20
+    m = (1 << s) // d + 1
+    ar = np.arange(bound + 1, dtype=np.int64)
+    if not np.array_equal((ar * m) >> s, ar // d):
+        return v // d  # magic failed for this (d, bound); rare
+    return (v * m) >> s
+
+
 def _dh_from_compact(sh, iv, cap, kpad, gx, gy, gz, dtype):
     """Box cotangent from compact lanes: dh[m, c] = -sum S_m (gamma u)_c.
 
@@ -586,7 +600,7 @@ def _dh_from_compact(sh, iv, cap, kpad, gx, gy, gz, dtype):
     vreg-local dynamic gather per axis)."""
     t_rows = sh.shape[0]
     r_rows = gx.shape[0]
-    o_k = jnp.clip(iv // cap, 0, _LANE - 1)
+    o_k = jnp.clip(_div_const(iv, cap, 27 * cap + _LANE), 0, _LANE - 1)
     rows8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     cols8 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     dh_acc = jnp.zeros((8, 128), dtype)
@@ -664,6 +678,42 @@ def _rep_pair(rep, dist, a_ij, z_ij, valid, dtype):
     return 0.5 * e, 0.5 * de  # half per directed pair
 
 
+def _radial_basis(spec, x, dtype):
+    """e_k = exp(-eta (x - k*delta)^2) for the uniform radial shift grid
+    via a TWO-ANCHOR recurrence: 3 exps + ~4 muls/shift instead of
+    n_shf exps (the ANI-2x grid has 16).
+
+    A single up-recurrence is wrong in f32: e_0 flushes to zero for x
+    near the far shifts while the true e_k rises back above the flush
+    bound toward the peak. Running it from BOTH anchors and taking the
+    elementwise max fixes that: for any k, one of the two paths has all
+    its intermediates >= min(anchor, e_k), and for live lanes
+    (x in [-0.8, 4.5]) the worst-case anchor exp(-eta (x_mid)^2) ~
+    exp(-80) stays f32-normal; a flushed path yields 0 and loses the
+    max. Intermediates cannot overflow: max over x of e_{k-1} * B is
+    exp(eta delta^2 (2k-1)) ~ e^41. f64 never flushes, so both paths
+    agree to rounding there. LAT_EXP_RECUR=0 reverts to direct exps."""
+    eta, mu0, delta, steps = _radial_consts(spec, dtype)
+    n_shf = len(spec.shf_r)
+    if (n_shf < 4 or _os.environ.get("LAT_EXP_RECUR", "1") == "0"):
+        return [jnp.exp(-eta * (x - k * delta) ** 2)
+                for k in range(n_shf)]
+    tiny = jnp.asarray(1e-30 if dtype == jnp.float32 else 0.0, dtype)
+    up = [None] * n_shf
+    dn = [None] * n_shf
+    up[0] = jnp.exp(-eta * x * x)
+    b_up = jnp.exp((2.0 * eta * delta) * x)
+    for k in range(1, n_shf):
+        up[k] = up[k - 1] * b_up * steps[k]
+    xl = x - (n_shf - 1) * delta
+    dn[n_shf - 1] = jnp.exp(-eta * xl * xl)
+    b_dn = jnp.exp((-2.0 * eta * delta) * x)
+    for k in range(n_shf - 1, 0, -1):
+        dn[k - 1] = dn[k] * b_dn * (1.0 / steps[k])
+    return [jnp.where(e > tiny, e, jnp.zeros((), dtype))
+            for e in (jnp.maximum(u, d) for u, d in zip(up, dn))]
+
+
 def _radial_cols_mxu(spec, rep, sections, masks, pcs, dist, valid,
                      t_rows, cap, kpad, compact_cols, n_cols, dtype):
     """Radial (+repulsion) AEV columns [T, cap, n_cols] via one-hot MXU
@@ -687,6 +737,7 @@ def _radial_cols_mxu(spec, rep, sections, masks, pcs, dist, valid,
     ci = jax.lax.broadcasted_iota(jnp.int32, (kpad, n_cols), 1)
     pmin = jnp.asarray(1e-30 if dtype == jnp.float32 else 0.0, dtype)
 
+    e_k = _radial_basis(spec, x, dtype)
     acc = jnp.zeros((r_rows, n_cols), dtype)
     for k in range(n_shf):
         w = None
@@ -694,8 +745,7 @@ def _radial_cols_mxu(spec, rep, sections, masks, pcs, dist, valid,
             col = (si if compact_cols else s) * n_shf + k
             m = (li >= off) & (li < off + k_s) & (ci == col)
             w = m if w is None else (w | m)
-        xk = x - k * delta
-        t = pref * jnp.exp(-eta * xk * xk)
+        t = pref * e_k[k]
         t = jnp.where(t > pmin, t, jnp.zeros((), dtype))
         acc = acc + _mask_dot(t, w.astype(dtype), dtype)
     if rep is not None:
@@ -741,11 +791,11 @@ def _radial_gamma_core(spec, rep, sections, masks, pcs, ga, iv, ax, ay,
     x = jnp.minimum(dist, rc + 1.0) - mu0
     gav3 = ga[...]  # [T, cap, srl + 1]; last lane = repulsion cotangent
 
+    e_k = _radial_basis(spec, x, dtype)
     gamma = jnp.zeros((r_rows, kpad), dtype)
     for k in range(n_shf):
         xk = x - k * delta
-        e = jnp.exp(-eta * xk * xk)
-        db = 0.25 * e * (dfc - (2.0 * eta) * xk * fc)
+        db = 0.25 * e_k[k] * (dfc - (2.0 * eta) * xk * fc)
         for si, (s, _) in enumerate(sections):
             col = (si if compact_cols else s) * n_shf + k
             gamma = gamma + _mul_rows(db * masks[s],
